@@ -1,0 +1,154 @@
+"""Batched point/segment/triangle geometry kernels (JAX, float32).
+
+Semantics reproduce the reference's scalar kernels — same case analysis and
+clamping as ``point_segment_distance`` (cpu_lib/makelevelset3.cpp:21-34) and
+``point_triangle_distance`` (cpu_lib/makelevelset3.cpp:49-70) — but as
+branchless, broadcast-vectorized JAX suitable for (cells x triangles) batch
+evaluation on the VPU/MXU. We compute squared distances and defer the sqrt to
+after the min-reduction (argmin of d equals argmin of d^2 for d >= 0).
+
+``closest_point_weights`` additionally returns the barycentric weights of the
+closest point for the analytic vertex-gradient VJP (the reference has no
+gradients; this is the new differentiable capability).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+__all__ = [
+    "point_segment_distance_sq",
+    "point_triangle_distance_sq",
+    "point_triangle_distance",
+    "closest_point_weights",
+]
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def point_segment_distance_sq(x0, x1, x2):
+    """Squared distance from x0 to segment [x1, x2]; broadcasts over leading dims.
+
+    Matches cpu_lib/makelevelset3.cpp:21-34: s12 = clamp(dot(x2-x0, x2-x1)/|x2-x1|^2)
+    weights x1 by s12 and x2 by (1-s12).
+    """
+    d = x2 - x1
+    m2 = _dot(d, d)
+    s12 = _dot(x2 - x0, d) / jnp.maximum(m2, jnp.float32(1e-30))
+    s12 = jnp.clip(s12, 0.0, 1.0)
+    c = s12[..., None] * x1 + (1.0 - s12)[..., None] * x2
+    diff = x0 - c
+    return _dot(diff, diff)
+
+
+def _triangle_case(x0, x1, x2, x3):
+    """Shared case analysis: barycentric weights of the plane projection.
+
+    Returns (w23, w31, w12, inside) following the reference's naming: w23 is
+    the weight on x1, w31 on x2, w12 on x3 (cpu_lib/makelevelset3.cpp:51-59).
+    """
+    x13 = x1 - x3
+    x23 = x2 - x3
+    x03 = x0 - x3
+    m13 = _dot(x13, x13)
+    m23 = _dot(x23, x23)
+    d = _dot(x13, x23)
+    invdet = 1.0 / jnp.maximum(m13 * m23 - d * d, jnp.float32(1e-30))
+    a = _dot(x13, x03)
+    b = _dot(x23, x03)
+    w23 = invdet * (m23 * a - d * b)
+    w31 = invdet * (m13 * b - d * a)
+    w12 = 1.0 - w23 - w31
+    inside = (w23 >= 0.0) & (w31 >= 0.0) & (w12 >= 0.0)
+    return w23, w31, w12, inside
+
+
+def point_triangle_distance_sq(x0, x1, x2, x3):
+    """Squared distance from x0 to triangle (x1, x2, x3); broadcasts leading dims."""
+    w23, w31, w12, inside = _triangle_case(x0, x1, x2, x3)
+    c_in = w23[..., None] * x1 + w31[..., None] * x2 + w12[..., None] * x3
+    diff = x0 - c_in
+    d_in = _dot(diff, diff)
+
+    d12 = point_segment_distance_sq(x0, x1, x2)
+    d13 = point_segment_distance_sq(x0, x1, x3)
+    d23 = point_segment_distance_sq(x0, x2, x3)
+    # Case selection identical to cpu_lib/makelevelset3.cpp:62-69:
+    #   w23>0 -> min(seg12, seg13); elif w31>0 -> min(seg12, seg23);
+    #   else -> min(seg13, seg23).
+    d_edge = jnp.where(
+        w23 > 0.0,
+        jnp.minimum(d12, d13),
+        jnp.where(w31 > 0.0, jnp.minimum(d12, d23), jnp.minimum(d13, d23)),
+    )
+    return jnp.where(inside, d_in, d_edge)
+
+
+def point_triangle_distance(x0, x1, x2, x3):
+    return jnp.sqrt(point_triangle_distance_sq(x0, x1, x2, x3))
+
+
+def _segment_weight(x0, x1, x2):
+    d = x2 - x1
+    m2 = _dot(d, d)
+    s12 = _dot(x2 - x0, d) / jnp.maximum(m2, jnp.float32(1e-30))
+    return jnp.clip(s12, 0.0, 1.0)
+
+
+def closest_point_weights(x0, x1, x2, x3) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Barycentric weights (w1, w2, w3) of the closest point on the triangle.
+
+    closest = w1*x1 + w2*x2 + w3*x3, with the same region selection as
+    ``point_triangle_distance_sq``. At region boundaries the closest point is
+    continuous, so any consistent choice yields a valid (sub)gradient.
+    """
+    w23, w31, w12, inside = _triangle_case(x0, x1, x2, x3)
+
+    s_12 = _segment_weight(x0, x1, x2)  # weight on x1 along edge (x1, x2)
+    s_13 = _segment_weight(x0, x1, x3)
+    s_23 = _segment_weight(x0, x2, x3)
+    d12 = point_segment_distance_sq(x0, x1, x2)
+    d13 = point_segment_distance_sq(x0, x1, x3)
+    d23 = point_segment_distance_sq(x0, x2, x3)
+
+    zeros = jnp.zeros_like(s_12)
+
+    def edge_weights(sel12, sel13, sel23):
+        # one-hot over which edge was selected -> barycentric triple
+        w1 = sel12 * s_12 + sel13 * s_13
+        w2 = sel12 * (1.0 - s_12) + sel23 * s_23
+        w3 = sel13 * (1.0 - s_13) + sel23 * (1.0 - s_23)
+        return w1, w2, w3
+
+    # Region w23>0: candidates edges 12 and 13
+    use12_a = (d12 <= d13).astype(x0.dtype)
+    # Region w31>0: candidates edges 12 and 23
+    use12_b = (d12 <= d23).astype(x0.dtype)
+    # Region else: candidates edges 13 and 23
+    use13_c = (d13 <= d23).astype(x0.dtype)
+
+    wa = edge_weights(use12_a, 1.0 - use12_a, zeros)
+    wb = edge_weights(use12_b, zeros, 1.0 - use12_b)
+    wc = edge_weights(zeros, use13_c, 1.0 - use13_c)
+
+    in_a = (w23 > 0.0) & ~inside
+    in_b = (w31 > 0.0) & ~(w23 > 0.0) & ~inside
+    in_c = ~(w23 > 0.0) & ~(w31 > 0.0) & ~inside
+
+    def pick(i):
+        return (
+            inside * [w23, w31, w12][i]
+            + in_a * wa[i]
+            + in_b * wb[i]
+            + in_c * wc[i]
+        )
+
+    inside = inside.astype(x0.dtype)
+    in_a = in_a.astype(x0.dtype)
+    in_b = in_b.astype(x0.dtype)
+    in_c = in_c.astype(x0.dtype)
+    return pick(0), pick(1), pick(2)

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Generate parity goldens: run the REFERENCE C++ binary (built from
+/root/reference, CPU backend, single thread for determinism) on meshes
+produced by our own writers, and store the resulting .sdf files under
+tests/goldens/ together with a manifest describing each config.
+
+Usage: python tools/make_goldens.py [--ref-binary PATH]
+The goldens are committed; regeneration requires the reference build.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from sdfgenfast_tpu.io import mesh_io  # noqa: E402
+from sdfgenfast_tpu.mesh import box_mesh, icosphere  # noqa: E402
+
+RESOURCES = os.path.join(REPO, "tests", "resources")
+GOLDENS = os.path.join(REPO, "tests", "goldens")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref-binary", default="/tmp/refbuild/bin/SDFGen")
+    args = ap.parse_args()
+
+    os.makedirs(RESOURCES, exist_ok=True)
+    os.makedirs(GOLDENS, exist_ok=True)
+
+    box = box_mesh((3, 4, 5), (-1, -1, -1))
+    sphere = icosphere(3, radius=1.0, center=(0.05, -0.02, 0.03))
+
+    mesh_io.save_stl(os.path.join(RESOURCES, "box345.stl"), box)
+    mesh_io.save_stl(os.path.join(RESOURCES, "box345_ascii.stl"), box, ascii_format=True)
+    mesh_io.save_obj(os.path.join(RESOURCES, "box345.obj"), box)
+    mesh_io.save_obj(os.path.join(RESOURCES, "icosphere.obj"), sphere)
+    mesh_io.save_stl(os.path.join(RESOURCES, "icosphere.stl"), sphere)
+
+    # (name, mesh file, CLI args after file, produced .sdf name)
+    configs = [
+        # PR1 parity reference: 64-cell mode 2a, padding 1, single thread
+        ("box_stl_64_mode2a", "box345.stl", ["64", "1", "1"], "box345_sdf_64x85x105.sdf"),
+        # mode 2b manual dims
+        ("box_stl_mode2b", "box345.stl", ["32", "40", "48", "2", "1"], "box345_sdf_32x40x48.sdf"),
+        # mode 1 legacy OBJ with dx spacing
+        ("box_obj_mode1", "box345.obj", ["0.1", "2", "1"], "box345.sdf"),
+        # curved mesh, mode 2a
+        ("sphere_stl_64_mode2a", "icosphere.stl", ["64", "1", "1"], None),
+        # curved mesh, mode 1
+        ("sphere_obj_mode1", "icosphere.obj", ["0.05", "2", "1"], "icosphere.sdf"),
+    ]
+
+    manifest = {}
+    workdir = os.path.join("/tmp", "golden_work")
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+
+    for name, meshfile, cli, outname in configs:
+        src = os.path.join(RESOURCES, meshfile)
+        dst_mesh = os.path.join(workdir, meshfile)
+        shutil.copy(src, dst_mesh)
+        cmd = [args.ref_binary, meshfile] + cli
+        print("::", " ".join(cmd))
+        out = subprocess.run(
+            cmd, cwd=workdir, capture_output=True, text=True, timeout=600
+        )
+        if out.returncode != 0:
+            print(out.stdout)
+            print(out.stderr)
+            raise SystemExit(f"reference binary failed for {name}")
+        produced = [f for f in os.listdir(workdir) if f.endswith(".sdf")]
+        assert len(produced) == 1, produced
+        golden_name = f"{name}.sdf"
+        shutil.move(os.path.join(workdir, produced[0]), os.path.join(GOLDENS, golden_name))
+        os.remove(dst_mesh)
+        manifest[name] = {
+            "mesh": meshfile,
+            "cli_args": cli,
+            "golden": golden_name,
+            "reference_output_name": produced[0],
+        }
+        # capture the banner lines that document grid sizing
+        for line in out.stdout.splitlines():
+            if "Grid dimensions:" in line or "dx =" in line or "Using dx" in line:
+                manifest[name].setdefault("stdout", []).append(line.strip())
+
+    with open(os.path.join(GOLDENS, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print("goldens written:", list(manifest))
+
+
+if __name__ == "__main__":
+    main()
