@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark harness: voxels/sec/chip on the reference's headline workload.
+
+Reproduces the reference benchmark's configuration
+(tests/benchmark_performance.cpp:151,181-185): the bundled 3x4x5 box STL at
+CLI mode-2a grids Nx in {64, 128, 256}, timing full SDF generation (host
+binning + device compute, steady-state after compile).
+
+Baseline anchor (BASELINE.md): 256-class grid on an RTX 4090 = 36.9M cells /
+1.29 s ~= 28.6M voxels/s. vs_baseline = our voxels/s / 28.6e6.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_VOXELS_PER_SEC = 36.9e6 / 1.29  # RTX 4090, README.md:260
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_config(mesh, grid, config, repeats=3):
+    import jax
+    from sdfgenfast_tpu.pipeline import bin_mesh, make_level_set3
+
+    t0 = time.perf_counter()
+    binned = bin_mesh(mesh, grid, config)
+    t_bin = time.perf_counter() - t0
+
+    # warmup / compile
+    t0 = time.perf_counter()
+    phi = make_level_set3(mesh, grid, config, binned=binned)
+    phi.block_until_ready()
+    t_compile = time.perf_counter() - t0
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        b = bin_mesh(mesh, grid, config)  # host preprocessing counts
+        phi = make_level_set3(mesh, grid, config, binned=b)
+        phi.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    return {
+        "cells": grid.num_cells,
+        "time_s": t,
+        "bin_s": t_bin,
+        "compile_s": t_compile,
+        "voxels_per_sec": grid.num_cells / t,
+        "inside_frac": float((np.asarray(phi) < 0).mean()),
+    }
+
+
+def main():
+    import jax
+
+    from sdfgenfast_tpu.grid import sizing_mode2a_proportional
+    from sdfgenfast_tpu.mesh import box_mesh
+    from sdfgenfast_tpu.pipeline import SDFConfig
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    mesh = box_mesh((3, 4, 5), (-1, -1, -1))
+    mn, mx = mesh.bounds()
+
+    results = {}
+    for nx in (64, 128, 256):
+        grid = sizing_mode2a_proportional(mn, mx, nx, 1)
+        cfg = SDFConfig()
+        r = bench_config(mesh, grid, cfg, repeats=3 if nx < 256 else 2)
+        results[nx] = r
+        log(
+            f"Nx={nx}: grid={grid.shape} cells={r['cells']/1e6:.2f}M "
+            f"time={r['time_s']*1e3:.1f}ms compile={r['compile_s']:.1f}s "
+            f"-> {r['voxels_per_sec']/1e6:.1f}M voxels/s (inside {r['inside_frac']:.3f})"
+        )
+
+    v = results[256]["voxels_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "voxels/sec/chip @ mode2a Nx=256 (3x4x5 box STL)",
+                "value": round(v, 1),
+                "unit": "voxels/s",
+                "vs_baseline": round(v / BASELINE_VOXELS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -182,14 +182,22 @@ def band_distance_field(
     active_ids: jnp.ndarray,  # (A,)
     cand: jnp.ndarray,  # (A, K)
     cand_valid: jnp.ndarray,  # (A, K)
-    origin: jnp.ndarray,  # (3,) float32
+    origin: jnp.ndarray,  # (3,) float32 GLOBAL grid origin
     dx: jnp.ndarray,  # () float32
     tile_shape: Tuple[int, int, int],
     tiles_dim: Tuple[int, int, int],
     grid_shape: Tuple[int, int, int],
     chunk: int = 128,
+    ijk_offset=None,  # (3,) int32 global index of local cell (0,0,0); None = zeros
+    upper_override=None,  # () f32 init upper bound; None = (ni+nj+nk)*dx
 ):
-    """Dense (ni, nj, nk) narrow-band (phi, closest_tri) from binned candidates."""
+    """Dense (ni, nj, nk) narrow-band (phi, closest_tri) from binned candidates.
+
+    For sharded blocks, `ijk_offset` shifts cell indices to GLOBAL coordinates
+    so world positions are bit-identical to the reference's f32(i)*dx+origin
+    (makelevelset3.cpp:214), and `upper_override` carries the global-grid
+    upper bound (ni+nj+nk)*dx.
+    """
     ni, nj, nk = grid_shape
     nti, ntj, ntk = tiles_dim
     ti, tj, tk = tile_shape
@@ -197,7 +205,12 @@ def band_distance_field(
     T = nti * ntj * ntk
     A = active_ids.shape[0]
 
-    upper = (jnp.float32(ni + nj + nk)) * dx  # makelevelset3.cpp:197
+    if upper_override is None:
+        upper = (jnp.float32(ni + nj + nk)) * dx  # makelevelset3.cpp:197
+    else:
+        upper = upper_override
+    if ijk_offset is None:
+        ijk_offset = jnp.zeros((3,), jnp.int32)
 
     local = _tile_local_offsets(tile_shape)  # (C, 3) int32
 
@@ -207,7 +220,7 @@ def band_distance_field(
         tile_j = (ids // ntk) % ntj
         tile_i = ids // (ntk * ntj)
         base = jnp.stack([tile_i * ti, tile_j * tj, tile_k * tk], axis=-1)  # (B,3)
-        cell_idx = base[:, None, :] + local[None, :, :]  # (B, C, 3)
+        cell_idx = base[:, None, :] + local[None, :, :] + ijk_offset[None, None, :]
         # World positions exactly as the reference: f32(i)*f32(dx) + f32(origin)
         # (makelevelset3.cpp:214).
         gx = cell_idx.astype(jnp.float32) * dx + origin  # (B, C, 3)

@@ -208,8 +208,13 @@ def parity_field(
     tiles_dim: Tuple[int, int],
     grid_shape: Tuple[int, int, int],
     chunk: int = 64,
+    jk_offset=None,  # (2,) int32 global (j, k) of local cell (0, 0); None = zeros
 ):
-    """Dense (ni, nj, nk) bool parity (True = inside) for the whole grid."""
+    """Dense (ni, nj, nk) bool parity (True = inside) for the whole grid.
+
+    `jk_offset` shifts the integer ray coordinates to GLOBAL (j, k) for
+    sharded blocks so the predicates see the same points as the reference.
+    """
     ni, nj, nk = grid_shape
     tj, tk = tile_shape
     ntj, ntk = tiles_dim
@@ -224,12 +229,15 @@ def parity_field(
 
     i_iota = jnp.arange(ni, dtype=jnp.int32)  # (ni,)
 
+    if jk_offset is None:
+        jk_offset = jnp.zeros((2,), jnp.int32)
+
     def tile_chunk(args):
         ids, cd, vd = args  # (B,), (B,K), (B,K)
         tjj = ids // ntk
         tkk = ids % ntk
-        jj = (tjj[:, None] * tj + local_j[None, :]).astype(jnp.float32)  # (B, C)
-        kk = (tkk[:, None] * tk + local_k[None, :]).astype(jnp.float32)
+        jj = (tjj[:, None] * tj + local_j[None, :] + jk_offset[0]).astype(jnp.float32)
+        kk = (tkk[:, None] * tk + local_k[None, :] + jk_offset[1]).astype(jnp.float32)
 
         fh = f_hi[cd]  # (B, K, 3verts, 3axes)
         fl = f_lo[cd]

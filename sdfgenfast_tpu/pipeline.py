@@ -44,7 +44,10 @@ class SDFConfig:
     far_field: str = "exact"  # "exact" (CPU-backend semantics) | "eikonal" (CUDA)
     tile_shape: Tuple[int, int, int] = band_ops.DEFAULT_TILE
     tile2d_shape: Tuple[int, int] = sign_ops.DEFAULT_TILE_2D
-    max_passes: int = 8
+    # safety cap only — the propagation while_loop exits as soon as a full
+    # pass changes nothing; sharded runs advance one shard per pass, so the
+    # cap must exceed (passes to converge) + (shard count along j/k)
+    max_passes: int = 64
     eikonal_iters: Optional[int] = None  # default 2*max(n), like .cu:690
     band_chunk: int = 128
     sign_chunk: int = 64
@@ -113,16 +116,19 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
 
 
 @partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
-def _recompute_phi(tri_verts, tid, parity, origin, dx, upper):
+def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None):
     """phi(cell) = sign * point_triangle_distance(cell, tri_verts[tid]).
 
     tid/parity are integer fields (implicitly non-differentiable); gradients
-    flow to tri_verts through the closest-point evaluation only.
+    flow to tri_verts through the closest-point evaluation only. `ijk_offset`
+    shifts local block indices to global ones for sharded evaluation.
     """
     ni, nj, nk = tid.shape
-    gi = jnp.arange(ni, dtype=jnp.float32) * dx + origin[0]
-    gj = jnp.arange(nj, dtype=jnp.float32) * dx + origin[1]
-    gk = jnp.arange(nk, dtype=jnp.float32) * dx + origin[2]
+    if ijk_offset is None:
+        ijk_offset = jnp.zeros((3,), jnp.int32)
+    gi = (jnp.arange(ni, dtype=jnp.int32) + ijk_offset[0]).astype(jnp.float32) * dx + origin[0]
+    gj = (jnp.arange(nj, dtype=jnp.int32) + ijk_offset[1]).astype(jnp.float32) * dx + origin[1]
+    gk = (jnp.arange(nk, dtype=jnp.int32) + ijk_offset[2]).astype(jnp.float32) * dx + origin[2]
     gx = jnp.stack(
         [
             jnp.broadcast_to(gi[:, None, None], tid.shape),
