@@ -63,6 +63,15 @@ def bench_config(mesh, grid, config, repeats=3):
 def main():
     import jax
 
+    # persistent compile cache: repeated driver runs skip the (slow) XLA
+    # compiles for already-seen shapes
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
     from sdfgenfast_tpu.grid import sizing_mode2a_proportional
     from sdfgenfast_tpu.mesh import box_mesh
     from sdfgenfast_tpu.pipeline import SDFConfig
@@ -73,8 +82,11 @@ def main():
     mesh = box_mesh((3, 4, 5), (-1, -1, -1))
     mn, mx = mesh.bounds()
 
+    # optional size filter (e.g. `python bench.py 128`) — used to warm the
+    # persistent compile cache one size at a time
+    sizes = tuple(int(a) for a in sys.argv[1:]) or (64, 128, 256)
     results = {}
-    for nx in (64, 128, 256):
+    for nx in sizes:
         grid = sizing_mode2a_proportional(mn, mx, nx, 1)
         cfg = SDFConfig()
         r = bench_config(mesh, grid, cfg, repeats=3 if nx < 256 else 2)
@@ -85,7 +97,7 @@ def main():
             f"-> {r['voxels_per_sec']/1e6:.1f}M voxels/s (inside {r['inside_frac']:.3f})"
         )
 
-    v = results[256]["voxels_per_sec"]
+    v = results[max(sizes)]["voxels_per_sec"]
     print(
         json.dumps(
             {

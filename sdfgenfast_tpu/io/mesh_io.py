@@ -31,6 +31,22 @@ class MeshLoadError(RuntimeError):
     pass
 
 
+def _try_native(fn_name: str, filename: str):
+    """Use the C++ fast path (io/native.py) when the library is buildable;
+    None -> caller falls back to the NumPy implementation."""
+    from . import native
+
+    if not native.available():
+        return None
+    try:
+        verts, tris = getattr(native, fn_name)(filename)
+    except native.NativeIOError as e:
+        raise MeshLoadError(f"{filename}: {e}") from e
+    mesh = Mesh(verts, tris)
+    mn, mx = mesh.bounds()
+    return mesh, mn, mx
+
+
 def _get_extension(path: str) -> str:
     ext = os.path.splitext(path)[1].lower()
     return ext
@@ -56,6 +72,9 @@ _FACE_INDEX_RE = re.compile(r"^(-?\d+)")
 
 
 def load_obj(filename: str) -> Tuple[Mesh, np.ndarray, np.ndarray]:
+    native_result = _try_native("load_obj", filename)
+    if native_result is not None:
+        return native_result
     verts: list = []
     faces: list = []
     try:
@@ -134,6 +153,9 @@ def _detect_stl_format(data: bytes) -> str:
 
 
 def load_stl(filename: str) -> Tuple[Mesh, np.ndarray, np.ndarray]:
+    native_result = _try_native("load_stl", filename)
+    if native_result is not None:
+        return native_result
     try:
         with open(filename, "rb") as fh:
             data = fh.read()

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid import GridSpec
-from .geometry import point_triangle_distance_sq
+from .geometry import point_triangle_distance_sq_soa
 
 __all__ = ["BandBinning", "bin_triangles", "band_distance_field"]
 
@@ -213,6 +213,8 @@ def band_distance_field(
         ijk_offset = jnp.zeros((3,), jnp.int32)
 
     local = _tile_local_offsets(tile_shape)  # (C, 3) int32
+    tri9 = tri_verts.reshape(-1, 9).T  # (9, M) — SoA: avoids (.., 3, 3) gathers
+    # that TPU tiling would pad to (.., 4, 128)
 
     def tile_chunk(args):
         ids, cd, vd = args  # (B,), (B,K), (B,K)
@@ -225,13 +227,12 @@ def band_distance_field(
         # (makelevelset3.cpp:214).
         gx = cell_idx.astype(jnp.float32) * dx + origin  # (B, C, 3)
 
-        tv = tri_verts[cd]  # (B, K, 3, 3)
-        d2 = point_triangle_distance_sq(
-            gx[:, :, None, :],
-            tv[:, None, :, 0, :],
-            tv[:, None, :, 1, :],
-            tv[:, None, :, 2, :],
-        )  # (B, C, K)
+        tv = tri9[:, cd]  # (9, B, K)
+        p = tuple(gx[:, :, None, ax] for ax in range(3))  # (B, C, 1)
+        va = tuple(tv[ax][:, None, :] for ax in range(3))  # (B, 1, K)
+        vb = tuple(tv[3 + ax][:, None, :] for ax in range(3))
+        vc = tuple(tv[6 + ax][:, None, :] for ax in range(3))
+        d2 = point_triangle_distance_sq_soa(p, va, vb, vc)  # (B, C, K)
         d2 = jnp.where(vd[:, None, :], d2, jnp.float32(jnp.inf))
         # Tie-break: the reference keeps the FIRST triangle achieving the min
         # (strict '<' update, makelevelset3.cpp:216-219); argmin picks the

@@ -21,9 +21,58 @@ import jax.numpy as jnp
 __all__ = [
     "point_segment_distance_sq",
     "point_triangle_distance_sq",
+    "point_triangle_distance_sq_soa",
     "point_triangle_distance",
     "closest_point_weights",
 ]
+
+
+def point_triangle_distance_sq_soa(p, a, b, c):
+    """Structure-of-arrays variant: p/a/b/c are length-3 tuples of same-shape
+    coordinate arrays. Avoids (..., 3)-stacked intermediates, which TPU pads
+    to (…, 4|8, 128) tiles — catastrophic for grid-sized buffers (a
+    (37M, 3, 3) gather would pad to 76 GB). Same math as the stacked version.
+    """
+
+    def d3(ux, uy, uz, vx, vy, vz):
+        return ux * vx + uy * vy + uz * vz
+
+    x13 = tuple(a[i] - c[i] for i in range(3))
+    x23 = tuple(b[i] - c[i] for i in range(3))
+    x03 = tuple(p[i] - c[i] for i in range(3))
+    m13 = d3(*x13, *x13)
+    m23 = d3(*x23, *x23)
+    d = d3(*x13, *x23)
+    invdet = 1.0 / jnp.maximum(m13 * m23 - d * d, jnp.float32(1e-30))
+    pa = d3(*x13, *x03)
+    pb = d3(*x23, *x03)
+    w23 = invdet * (m23 * pa - d * pb)
+    w31 = invdet * (m13 * pb - d * pa)
+    w12 = 1.0 - w23 - w31
+    inside = (w23 >= 0.0) & (w31 >= 0.0) & (w12 >= 0.0)
+    cin = tuple(w23 * a[i] + w31 * b[i] + w12 * c[i] for i in range(3))
+    din = d3(*(p[i] - cin[i] for i in range(3)), *(p[i] - cin[i] for i in range(3)))
+
+    def seg(x1, x2):
+        dv = tuple(x2[i] - x1[i] for i in range(3))
+        m2 = d3(*dv, *dv)
+        s = d3(*(x2[i] - p[i] for i in range(3)), *dv) / jnp.maximum(
+            m2, jnp.float32(1e-30)
+        )
+        s = jnp.clip(s, 0.0, 1.0)
+        cc = tuple(s * x1[i] + (1.0 - s) * x2[i] for i in range(3))
+        dd = tuple(p[i] - cc[i] for i in range(3))
+        return d3(*dd, *dd)
+
+    d12 = seg(a, b)
+    d13 = seg(a, c)
+    d23 = seg(b, c)
+    d_edge = jnp.where(
+        w23 > 0.0,
+        jnp.minimum(d12, d13),
+        jnp.where(w31 > 0.0, jnp.minimum(d12, d23), jnp.minimum(d13, d23)),
+    )
+    return jnp.where(inside, din, d_edge)
 
 
 def _dot(a, b):

@@ -1,0 +1,300 @@
+"""Far-field completion by tile-level jump flooding (JFA).
+
+The reference completes the far field with 2x8 Gauss-Seidel sweeps that
+propagate closest-triangle ids (``cpu_lib/makelevelset3.cpp:243-292``). A
+literal sweep is a sequential wavefront — hostile to TPU. Jump flooding
+reaches the same closest-seed field in O(log n) *fully parallel* passes
+(each pass: 26 strided shifts + exact distance re-evaluation), which is the
+TPU-shaped formulation of "propagate ids and re-evaluate exactly".
+
+Two-level design to keep it gather-free at the cell level:
+  1. JFA runs on the TILE grid (one closest-triangle id per tile, distances
+     evaluated at tile centers) — tiny (e.g. 44x43x54 at a 256-class grid).
+  2. Each cell is evaluated exactly against the closest-tri ids of its
+     3x3x3 tile neighborhood (27 candidates shared per tile — the same
+     batched tile kernel shape as the narrow band), and the result is merged
+     with the exact narrow band by elementwise min.
+
+Like the reference's own far field, the result can exceed the true distance
+at rare medial-axis cells; measured deviations are well inside the band the
+reference's tests accept (25*dx, tests/test_correctness.cpp:195) and inside
+our own golden tolerance (0.2*dx).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import point_triangle_distance_sq_soa
+
+__all__ = ["tile_seed_field", "tile_jfa_closest", "neighborhood_candidates"]
+
+
+def tile_seed_field(
+    tri_verts, active_ids, cand, valid, band_tiles_dim, band_tile_shape,
+    jfa_tiles_dim, jfa_tile_shape, origin, dx, band_tile_offset=None,
+):
+    """Dense JFA-tile seed field from the band binning.
+
+    Band tiles carry the candidate lists; each active band tile seeds every
+    JFA subtile it covers (band tile shape must be a multiple of the JFA tile
+    shape) with its closest candidate to that subtile's center. -1 elsewhere.
+    """
+    nti, ntj, ntk = band_tiles_dim
+    ti, tj, tk = band_tile_shape
+    ji, jj_, jk = jfa_tile_shape
+    J1, J2, J3 = jfa_tiles_dim
+    r1, r2, r3 = ti // ji, tj // jj_, tk // jk
+    assert r1 * ji == ti and r2 * jj_ == tj and r3 * jk == tk, (
+        "band tile shape must be a multiple of the JFA tile shape"
+    )
+    R = r1 * r2 * r3
+    tri9 = tri_verts.reshape(-1, 9).T  # (9, M)
+
+    t_i = active_ids // (ntj * ntk)
+    t_j = (active_ids // ntk) % ntj
+    t_k = active_ids % ntk
+    if band_tile_offset is not None:
+        # shard-local tile ids -> global tile coords (sharded path)
+        t_i = t_i + band_tile_offset[0]
+        t_j = t_j + band_tile_offset[1]
+        t_k = t_k + band_tile_offset[2]
+
+    # subtile offsets within a band tile, in JFA-tile units
+    si = jnp.arange(r1, dtype=jnp.int32).reshape(r1, 1, 1)
+    sj = jnp.arange(r2, dtype=jnp.int32).reshape(1, r2, 1)
+    sk = jnp.arange(r3, dtype=jnp.int32).reshape(1, 1, r3)
+    sub_i = jnp.broadcast_to(si, (r1, r2, r3)).reshape(-1)  # (R,)
+    sub_j = jnp.broadcast_to(sj, (r1, r2, r3)).reshape(-1)
+    sub_k = jnp.broadcast_to(sk, (r1, r2, r3)).reshape(-1)
+
+    # JFA tile coords for each (active band tile, subtile)
+    g_i = t_i[:, None] * r1 + sub_i[None, :]  # (A, R)
+    g_j = t_j[:, None] * r2 + sub_j[None, :]
+    g_k = t_k[:, None] * r3 + sub_k[None, :]
+
+    cx = (g_i.astype(jnp.float32) * ji + (ji - 1) * 0.5) * dx + origin[0]
+    cy = (g_j.astype(jnp.float32) * jj_ + (jj_ - 1) * 0.5) * dx + origin[1]
+    cz = (g_k.astype(jnp.float32) * jk + (jk - 1) * 0.5) * dx + origin[2]
+
+    tv = tri9[:, cand]  # (9, A, K)
+    p = (cx[:, :, None], cy[:, :, None], cz[:, :, None])  # (A, R, 1)
+    a = (tv[0][:, None, :], tv[1][:, None, :], tv[2][:, None, :])  # (A, 1, K)
+    b = (tv[3][:, None, :], tv[4][:, None, :], tv[5][:, None, :])
+    c = (tv[6][:, None, :], tv[7][:, None, :], tv[8][:, None, :])
+    d2 = point_triangle_distance_sq_soa(p, a, b, c)  # (A, R, K)
+    d2 = jnp.where(valid[:, None, :], d2, jnp.float32(jnp.inf))
+    am = jnp.argmin(d2, axis=-1)  # (A, R)
+    seed = jnp.take_along_axis(
+        jnp.broadcast_to(cand[:, None, :], d2.shape), am[..., None], axis=-1
+    )[..., 0].astype(jnp.int32)
+    has = jnp.isfinite(jnp.take_along_axis(d2, am[..., None], axis=-1)[..., 0])
+    seed = jnp.where(has, seed, -1)
+
+    flat_idx = (g_i * J2 + g_j) * J3 + g_k  # (A, R)
+    in_range = (g_i < J1) & (g_j < J2) & (g_k < J3)
+    flat_idx = jnp.where(in_range, flat_idx, J1 * J2 * J3)  # sentinel -> drop
+    dense = (
+        jnp.full((J1 * J2 * J3,), -1, jnp.int32)
+        .at[flat_idx.reshape(-1)]
+        .set(seed.reshape(-1), mode="drop")
+    )
+    return dense.reshape(J1, J2, J3)
+
+
+def _tile_centers(tiles_dim, tile_shape, origin, dx):
+    """World coords of tile centers as 3 broadcastable (T1,T2,T3) arrays."""
+    nti, ntj, ntk = tiles_dim
+    ti, tj, tk = tile_shape
+    ci = (jnp.arange(nti, dtype=jnp.float32) * ti + (ti - 1) * 0.5) * dx + origin[0]
+    cj = (jnp.arange(ntj, dtype=jnp.float32) * tj + (tj - 1) * 0.5) * dx + origin[1]
+    ck = (jnp.arange(ntk, dtype=jnp.float32) * tk + (tk - 1) * 0.5) * dx + origin[2]
+    return (
+        ci[:, None, None],
+        cj[None, :, None],
+        ck[None, None, :],
+    )
+
+
+def _shift3(x, oi, oj, ok, fill):
+    """Shift a 3D array by (oi, oj, ok) with constant fill (static offsets)."""
+    pads = []
+    slices = []
+    for o, n in zip((oi, oj, ok), x.shape):
+        o = max(min(o, n), -n)
+        if o > 0:
+            pads.append((o, 0))
+            slices.append(slice(0, n))
+        elif o < 0:
+            pads.append((0, -o))
+            slices.append(slice(-o, n - o))
+        else:
+            pads.append((0, 0))
+            slices.append(slice(0, n))
+    return jnp.pad(x, pads, constant_values=fill)[tuple(slices)]
+
+
+def _eval_tiles(tri9, tid, centers):
+    """Squared distance from each tile center to its assigned triangle."""
+    safe = jnp.maximum(tid, 0)
+    flat = safe.reshape(-1)
+    tv = tri9[:, flat]  # (9, T) — large trailing dim, TPU-friendly
+    shape = tid.shape
+    a = tuple(tv[i].reshape(shape) for i in range(3))
+    b = tuple(tv[3 + i].reshape(shape) for i in range(3))
+    c = tuple(tv[6 + i].reshape(shape) for i in range(3))
+    p = tuple(jnp.broadcast_to(centers[i], shape) for i in range(3))
+    d2 = point_triangle_distance_sq_soa(p, a, b, c)
+    return jnp.where(tid >= 0, d2, jnp.float32(jnp.inf))
+
+
+_OFFSETS = [
+    (a, b, c)
+    for a in (-1, 0, 1)
+    for b in (-1, 0, 1)
+    for c in (-1, 0, 1)
+    if (a, b, c) != (0, 0, 0)
+]
+
+
+def _top2_distinct(d2_stack, tid_stack):
+    """Per-position best and second-best (distinct triangle id) candidates.
+
+    d2_stack/tid_stack: (C, ...) candidate distances/ids. Returns
+    (tid1, d1, tid2, d2) with tid2 != tid1 (or -1/inf if none)."""
+    am1 = jnp.argmin(d2_stack, axis=0)
+    d1 = jnp.take_along_axis(d2_stack, am1[None], axis=0)[0]
+    t1 = jnp.take_along_axis(tid_stack, am1[None], axis=0)[0]
+    masked = jnp.where(tid_stack == t1[None], jnp.float32(jnp.inf), d2_stack)
+    am2 = jnp.argmin(masked, axis=0)
+    d2_ = jnp.take_along_axis(masked, am2[None], axis=0)[0]
+    t2 = jnp.take_along_axis(tid_stack, am2[None], axis=0)[0]
+    t2 = jnp.where(jnp.isfinite(d2_), t2, -1)
+    return t1, d1, t2, d2_
+
+
+def tile_jfa_closest(
+    tri_verts: jnp.ndarray,  # (M, 3, 3) f32
+    seed_tid: jnp.ndarray,  # (T1, T2, T3) int32, -1 where unseeded
+    tiles_dim: Tuple[int, int, int],
+    tile_shape: Tuple[int, int, int],
+    origin,
+    dx,
+    extra_rounds: int = 2,
+):
+    """Best-2 distinct closest-triangle ids per tile via 3D jump flooding.
+
+    Tracking the two best DISTINCT triangles per tile (both propagated each
+    round) substantially tightens the per-cell candidate coverage near medial
+    surfaces, where neighboring tiles' single closest ids all point to the
+    same surface patch. Returns (tid1, tid2), each (T1, T2, T3) int32.
+    """
+    tri9 = tri_verts.reshape(-1, 9).T  # (9, M)
+    centers = _tile_centers(tiles_dim, tile_shape, origin, dx)
+
+    tid1 = seed_tid
+    d1 = _eval_tiles(tri9, tid1, centers)
+    tid2 = jnp.full_like(tid1, -1)
+    d2v = jnp.full_like(d1, jnp.inf)
+
+    max_dim = max(tiles_dim)
+    s = 1
+    while s < max_dim:
+        s *= 2
+    strides = []
+    while s >= 1:
+        strides.append(s)
+        s //= 2
+    strides += [1] * extra_rounds  # JFA+k polish
+
+    # NOTE: rounds and offsets are deliberately UNROLLED with static shifts.
+    # A fori_loop + vmapped dynamic_slice formulation compiles far slower on
+    # this backend than the larger-but-static program (measured >6 min vs
+    # ~80 s); the compiled result is cached persistently either way.
+    for s in strides:
+        def shifted(t):
+            return jnp.stack(
+                [_shift3(t, s * a, s * b, s * c, jnp.int32(-1)) for a, b, c in _OFFSETS]
+            )  # (26, T1, T2, T3)
+
+        cand = jnp.concatenate([shifted(tid1), shifted(tid2)])  # (52, ...)
+        dc = jax.vmap(lambda t: _eval_tiles(tri9, t, centers))(cand)
+        dall = jnp.concatenate([d1[None], d2v[None], dc], axis=0)
+        tall = jnp.concatenate([tid1[None], tid2[None], cand], axis=0)
+        tid1, d1, tid2, d2v = _top2_distinct(dall, tall)
+    return tid1, tid2
+
+
+def refine_closest(phi, tid, tri_verts, origin, dx, ijk_offset=None, max_passes=10):
+    """Cell-level Jacobi polish: each pass, every cell re-evaluates its 6 face
+    neighbors' triangle ids exactly and adopts strict improvements; iterate
+    until unchanged. Mops up the rare JFA misses (medial-axis cells, truncated
+    neighborhoods at grid corners). Monotone non-increasing -> converges to a
+    6-neighbor-stable state, same family of fixed point as the reference's
+    sweeps (check_neighbour, cpu_lib/makelevelset3.cpp:90-102)."""
+    ni, nj, nk = phi.shape
+    if ijk_offset is None:
+        ijk_offset = jnp.zeros((3,), jnp.int32)
+    tri9 = tri_verts.reshape(-1, 9).T
+
+    px = ((jnp.arange(ni, dtype=jnp.int32) + ijk_offset[0]).astype(jnp.float32) * dx
+          + origin[0])[:, None, None]
+    py = ((jnp.arange(nj, dtype=jnp.int32) + ijk_offset[1]).astype(jnp.float32) * dx
+          + origin[1])[None, :, None]
+    pz = ((jnp.arange(nk, dtype=jnp.int32) + ijk_offset[2]).astype(jnp.float32) * dx
+          + origin[2])[None, None, :]
+    shape = phi.shape
+    p = (jnp.broadcast_to(px, shape), jnp.broadcast_to(py, shape),
+         jnp.broadcast_to(pz, shape))
+
+    # full 26-neighbor stencil: face-only stalls at medial-axis local optima
+    # the reference's 8-direction sweeps (7 diagonal-including neighbors each)
+    # would have escaped
+
+    def eval_tid(t):
+        flat = jnp.maximum(t, 0).reshape(-1)
+        tv = tri9[:, flat]
+        a = tuple(tv[i].reshape(shape) for i in range(3))
+        b = tuple(tv[3 + i].reshape(shape) for i in range(3))
+        c = tuple(tv[6 + i].reshape(shape) for i in range(3))
+        d2 = point_triangle_distance_sq_soa(p, a, b, c)
+        return jnp.where(t >= 0, d2, jnp.float32(jnp.inf))
+
+    def one_pass(state):
+        d2_best, tid, it, _ = state
+        d2_new, tid_new = d2_best, tid
+        for a, b, c in _OFFSETS:  # static shifts: see tile_jfa_closest note
+            cand = _shift3(tid, a, b, c, jnp.int32(-1))
+            d2c = eval_tid(cand)
+            better = d2c < d2_new
+            d2_new = jnp.where(better, d2c, d2_new)
+            tid_new = jnp.where(better, cand, tid_new)
+        changed = jnp.any(tid_new != tid)
+        return d2_new, tid_new, it + 1, changed
+
+    def cond(state):
+        _, _, it, changed = state
+        return changed & (it < max_passes)
+
+    d2_0 = jnp.square(phi)
+    d2f, tid, _, _ = jax.lax.while_loop(
+        cond, one_pass, (d2_0, tid, jnp.int32(0), jnp.bool_(True))
+    )
+    return jnp.sqrt(d2f), tid
+
+
+def neighborhood_candidates(tid1: jnp.ndarray, tid2: jnp.ndarray) -> jnp.ndarray:
+    """(T, 56) per-tile candidate ids: best-2 ids of the 3x3x3 JFA
+    neighborhood (padded 54 -> 56). -1 entries are invalid."""
+    def shifted(t):
+        return jnp.stack(
+            [t] + [_shift3(t, a, b, c, jnp.int32(-1)) for a, b, c in _OFFSETS]
+        )  # (27, T1, T2, T3)
+
+    cands = jnp.concatenate([shifted(tid1), shifted(tid2)])  # (54, T1, T2, T3)
+    cands = jnp.concatenate([cands, cands[:2]], axis=0)  # pad to 56
+    return jnp.moveaxis(cands, 0, -1).reshape(-1, 56)

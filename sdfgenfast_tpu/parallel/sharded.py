@@ -39,8 +39,9 @@ from jax import shard_map
 from ..grid import GridSpec
 from ..mesh import Mesh as TriMesh
 from ..ops import band as band_ops
-from ..ops import sign as sign_ops
-from ..ops.geometry import point_triangle_distance_sq
+from ..ops import jfa as jfa_ops
+from ..ops import sign_host as sign_host_ops
+from ..ops.geometry import point_triangle_distance_sq_soa
 from ..pipeline import SDFConfig, _recompute_phi
 
 __all__ = ["make_device_mesh", "ShardedBinned", "bin_mesh_sharded", "sharded_sdf"]
@@ -82,12 +83,7 @@ class ShardedBinned:
     band_ids: np.ndarray
     band_cand: np.ndarray
     band_valid: np.ndarray
-    sign_tiles_local: Tuple[int, int]
-    sign_ids: np.ndarray
-    sign_cand: np.ndarray
-    sign_valid: np.ndarray
-    f_hi: np.ndarray
-    f_lo: np.ndarray
+    parity_packed: np.ndarray  # (Dj, Dk, ceil(ni/8), nj_l, nk_l) uint8
     tris: np.ndarray
 
 
@@ -145,10 +141,6 @@ def bin_mesh_sharded(
     ti, tj, tk = config.tile_shape
     if nj_l % tj or nk_l % tk:
         raise ValueError("shard block must be a multiple of tile_shape")
-    stj, stk = config.tile2d_shape
-    if nj_l % stj or nk_l % stk:
-        raise ValueError("shard block must be a multiple of tile2d_shape")
-
     mesh.validate_indices()
     bb = band_ops.bin_triangles(
         mesh.verts, mesh.tris, grid, config.exact_band, config.tile_shape
@@ -160,18 +152,19 @@ def bin_mesh_sharded(
         bb.tiles_dim, band_tiles_local, dims,
     )
 
-    sb = sign_ops.bin_triangles_2d(mesh.verts, mesh.tris, grid, config.tile2d_shape)
-    sign_tiles_local = (nj_l // stj, nk_l // stk)
-    s_ids, s_cand, s_valid = _partition_tiles(
-        sb.active_ids.astype(np.int64), sb.cand, sb.cand_valid,
-        sb.tiles_dim, sign_tiles_local, dims,
-    )
+    # host parity, globally, then packed per shard block
+    parity = sign_host_ops.parity_field_host(mesh.verts, mesh.tris, grid)
+    packed = sign_host_ops.pack_parity(parity)  # (ceil(ni/8), nj, nk)
+    packed_blocks = (
+        packed.reshape(packed.shape[0], Dj, nj_l, Dk, nk_l)
+        .transpose(1, 3, 0, 2, 4)
+        .copy()
+    )  # (Dj, Dk, ceil(ni/8), nj_l, nk_l)
 
     return ShardedBinned(
         grid, config, dims, (ni, nj_l, nk_l),
         band_tiles_local, b_ids, b_cand, b_valid,
-        sign_tiles_local, s_ids, s_cand, s_valid,
-        sb.f_hi, sb.f_lo, mesh.tris.astype(np.int32),
+        packed_blocks, mesh.tris.astype(np.int32),
     )
 
 
@@ -214,114 +207,62 @@ def _exchange_tid_halos(tid):
     return jnp.pad(t, ((1, 1), (0, 0), (0, 0)), constant_values=-1)
 
 
-def _nine_shifts(padded):
-    """(9, A, B) stack of 3x3 shifts of a (A+2, B+2) padded plane."""
-    A, B = padded.shape[0] - 2, padded.shape[1] - 2
-    return jnp.stack(
-        [padded[da : da + A, db : db + B] for da in (0, 1, 2) for db in (0, 1, 2)]
+def _sharded_refine(d2, tid, tri9, pos_axes, max_passes):
+    """Jacobi 26-neighbor polish with per-pass corner-complete halo exchange.
+
+    Each pass reads only pass-start state (true Jacobi), so a sharded pass is
+    bit-identical to the single-device refine pass in ops/jfa.py — sharded
+    and single-device results agree exactly at convergence."""
+    shape = d2.shape
+    p = (
+        jnp.broadcast_to(pos_axes[0][:, None, None], shape),
+        jnp.broadcast_to(pos_axes[1][None, :, None], shape),
+        jnp.broadcast_to(pos_axes[2][None, None, :], shape),
     )
+    def eval_tid(t):
+        flat = jnp.maximum(t, 0).reshape(-1)
+        tv = tri9[:, flat]
+        a = tuple(tv[i].reshape(shape) for i in range(3))
+        b = tuple(tv[3 + i].reshape(shape) for i in range(3))
+        c = tuple(tv[6 + i].reshape(shape) for i in range(3))
+        dd = point_triangle_distance_sq_soa(p, a, b, c)
+        return jnp.where(t >= 0, dd, jnp.float32(jnp.inf))
 
-
-def _plane_update(cur_phi, cur_tid, prev_padded_tid, gx, tri_verts):
-    cand = _nine_shifts(prev_padded_tid)  # (9, A, B)
-    valid = cand >= 0
-    tv = tri_verts[jnp.maximum(cand, 0)]
-    d2 = point_triangle_distance_sq(gx[None], tv[..., 0, :], tv[..., 1, :], tv[..., 2, :])
-    d2 = jnp.where(valid, d2, jnp.float32(jnp.inf))
-    amin = jnp.argmin(d2, axis=0)
-    dmin2 = jnp.take_along_axis(d2, amin[None], axis=0)[0]
-    best = jnp.take_along_axis(cand, amin[None], axis=0)[0]
-    d = jnp.sqrt(dmin2)
-    better = d < cur_phi  # strict, like check_neighbour (makelevelset3.cpp:97)
-    return jnp.where(better, d, cur_phi), jnp.where(better, best, cur_tid)
-
-
-def _sweep_axis_stale(phi, tid, ext_tid, tri_verts, pos_axes, axis, reverse):
-    """One directional plane scan over the local block.
-
-    phi/tid: (ni, nj_l, nk_l) current state (updated in scan order).
-    ext_tid: (ni+2, nj_l+2, nk_l+2) stale halo-extended snapshot; supplies the
-    initial carry plane and the out-of-block ring of every previous plane.
-    """
-    phi_t = jnp.moveaxis(phi, axis, 0)
-    tid_t = jnp.moveaxis(tid, axis, 0)
-    ext_t = jnp.moveaxis(ext_tid, axis, 0)  # (nA+2, B+2, C+2)
-    nA, B, C = phi_t.shape
-
-    other = [a for a in range(3) if a != axis]
-    pa = pos_axes[axis]  # (nA,) world coords along scan axis (local block)
-    pb = jnp.broadcast_to(pos_axes[other[0]][:, None], (B, C))
-    pc = jnp.broadcast_to(pos_axes[other[1]][None, :], (B, C))
-
-    ring = ext_t[1:-1]  # per-plane stale rings, scan-axis aligned with phi_t
-
-    if reverse:
-        phi_seq, tid_seq, ring_seq, pa_seq = (
-            phi_t[::-1], tid_t[::-1], ring[::-1], pa[::-1],
-        )
-        init = ext_t[-1]
-    else:
-        phi_seq, tid_seq, ring_seq, pa_seq = phi_t, tid_t, ring, pa
-        init = ext_t[0]
-
-    def step(carry, xs):
-        cur_phi, cur_tid, cur_ring, a_coord = xs
-        coords = [None, None, None]
-        coords[axis] = jnp.broadcast_to(a_coord, (B, C))
-        coords[other[0]] = pb
-        coords[other[1]] = pc
-        gx = jnp.stack(coords, axis=-1)
-        new_phi, new_tid = _plane_update(cur_phi, cur_tid, carry, gx, tri_verts)
-        new_carry = cur_ring.at[1:-1, 1:-1].set(new_tid)
-        return new_carry, (new_phi, new_tid)
-
-    _, (out_phi, out_tid) = jax.lax.scan(step, init, (phi_seq, tid_seq, ring_seq, pa_seq))
-    if reverse:
-        out_phi = out_phi[::-1]
-        out_tid = out_tid[::-1]
-    return jnp.moveaxis(out_phi, 0, axis), jnp.moveaxis(out_tid, 0, axis)
-
-
-def _sharded_propagate(phi, tid, tri_verts, pos_axes, max_passes):
-    """Iterate 6 directional stale-halo scans until globally unchanged."""
+    ni, nj_l, nk_l = shape
 
     def one_pass(state):
-        phi, tid, it, _ = state
-        phi0 = phi
-        ext = _exchange_tid_halos(tid)
-        for axis in (0, 1, 2):
-            for reverse in (False, True):
-                phi, tid = _sweep_axis_stale(
-                    phi, tid, ext, tri_verts, pos_axes, axis, reverse
-                )
-        changed_local = jnp.any(phi != phi0).astype(jnp.int32)
+        d2_best, tid, it, _ = state
+        ext = _exchange_tid_halos(tid)  # (ni+2, nj_l+2, nk_l+2), pass-start
+        d2_new, tid_new = d2_best, tid
+        # static slices (see ops/jfa.py note on this backend's compile cost)
+        for oi, oj, ok in jfa_ops._OFFSETS:
+            cand = ext[1 - oi : 1 - oi + ni, 1 - oj : 1 - oj + nj_l, 1 - ok : 1 - ok + nk_l]
+            d2c = eval_tid(cand)
+            better = d2c < d2_new
+            d2_new = jnp.where(better, d2c, d2_new)
+            tid_new = jnp.where(better, cand, tid_new)
+        changed_local = jnp.any(tid_new != tid).astype(jnp.int32)
         changed = jax.lax.psum(jax.lax.psum(changed_local, "j"), "k") > 0
-        return phi, tid, it + 1, changed
+        return d2_new, tid_new, it + 1, changed
 
     def cond(state):
         _, _, it, changed = state
         return changed & (it < max_passes)
 
-    phi, tid, _, _ = jax.lax.while_loop(
-        cond, one_pass, (phi, tid, jnp.int32(0), jnp.bool_(True))
+    d2f, tid, _, _ = jax.lax.while_loop(
+        cond, one_pass, (d2, tid, jnp.int32(0), jnp.bool_(True))
     )
-    return phi, tid
+    return d2f, tid
 
 
-# ---------------------------------------------------------------------------
-# Full sharded pipeline
-# ---------------------------------------------------------------------------
-
-
-def _make_inner(block, band_tiles_local, tile_shape, sign_tiles_local,
-                tile2d_shape, max_passes, band_chunk, sign_chunk):
+def _make_inner(block, band_tiles_local, tile_shape, max_passes, band_chunk,
+                jfa_tile_shape):
     ni, nj_l, nk_l = block
 
-    def inner(tri_verts, f_hi, f_lo, origin, dx,
-              b_ids, b_cand, b_valid, s_ids, s_cand, s_valid):
+    def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed):
         # squeeze the (1, 1) device-block axes shard_map leaves on inputs
         b_ids, b_cand, b_valid = b_ids[0, 0], b_cand[0, 0], b_valid[0, 0]
-        s_ids, s_cand, s_valid = s_ids[0, 0], s_cand[0, 0], s_valid[0, 0]
+        parity_packed = parity_packed[0, 0]
 
         dj = jax.lax.axis_index("j")
         dk = jax.lax.axis_index("k")
@@ -353,14 +294,54 @@ def _make_inner(block, band_tiles_local, tile_shape, sign_tiles_local,
             ijk_offset=ijk_off, upper_override=up,
         )
 
-        parity = sign_ops.parity_field(
-            f_hi, f_lo, s_ids, s_cand, s_valid,
-            tile_shape=tile2d_shape, tiles_dim=sign_tiles_local,
-            grid_shape=(ni, nj_l, nk_l), chunk=sign_chunk,
-            jk_offset=jnp.stack([j_off, k_off]),
-        )
+        parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
 
-        phi, tid = _sharded_propagate(phi0, tid0, tv_ng, pos_axes, max_passes)
+        # ---- far field: REPLICATED tile JFA + per-shard evaluation ----
+        lti, ltj, ltk = band_tiles_local
+        ji, jj2, jk2 = jfa_tile_shape
+        r1, r2, r3 = tile_shape[0] // ji, tile_shape[1] // jj2, tile_shape[2] // jk2
+        # global JFA tile grid (i covered by local tiles; j/k by all shards)
+        gjfa = (lti * r1, ltj * r2 * Dj, ltk * r3 * Dk)
+        band_tile_off = jnp.stack(
+            [jnp.int32(0), (dj * ltj).astype(jnp.int32), (dk * ltk).astype(jnp.int32)]
+        )
+        seed_local = jfa_ops.tile_seed_field(
+            tv_ng, b_ids, b_cand, b_valid,
+            band_tiles_local, tile_shape, gjfa, jfa_tile_shape, origin, dx,
+            band_tile_offset=band_tile_off,
+        )  # dense GLOBAL-sized field, -1 outside this shard's tiles
+        # combine across shards: disjoint ownership -> elementwise max
+        seed = jax.lax.pmax(jax.lax.pmax(seed_local, "j"), "k")
+
+        jfa1, jfa2 = jfa_ops.tile_jfa_closest(
+            tv_ng, seed, gjfa, jfa_tile_shape, origin, dx
+        )
+        cands_all = jfa_ops.neighborhood_candidates(jfa1, jfa2)  # (T_glob, 56)
+        cands_all = cands_all.reshape(gjfa[0], gjfa[1], gjfa[2], 56)
+        local_jfa = (lti * r1, ltj * r2, ltk * r3)
+        cands = jax.lax.dynamic_slice(
+            cands_all,
+            (0, dj * ltj * r2, dk * ltk * r3, 0),
+            (local_jfa[0], local_jfa[1], local_jfa[2], 56),
+        ).reshape(-1, 56)
+
+        T_loc = cands.shape[0]
+        phi_far, tid_far = band_ops.band_distance_field(
+            tv_ng,
+            jnp.arange(T_loc, dtype=jnp.int32),
+            jnp.maximum(cands, 0),
+            cands >= 0,
+            origin, dx,
+            tile_shape=jfa_tile_shape, tiles_dim=local_jfa,
+            grid_shape=(ni, nj_l, nk_l), chunk=band_chunk,
+            ijk_offset=ijk_off, upper_override=up,
+        )
+        better = phi_far < phi0
+        phi = jnp.where(better, phi_far, phi0)
+        tid = jnp.where(better, tid_far, tid0)
+
+        tri9 = tv_ng.reshape(-1, 9).T
+        _, tid = _sharded_refine(jnp.square(phi), tid, tri9, pos_axes, max_passes)
 
         out = _recompute_phi(tri_verts, tid, parity, origin, dx, up, ijk_offset=ijk_off)
         return out[None, None]  # restore (1, 1) block axes
@@ -372,35 +353,31 @@ def _make_inner(block, band_tiles_local, tile_shape, sign_tiles_local,
     jax.jit,
     static_argnames=(
         "mesh_obj", "block", "band_tiles_local", "tile_shape",
-        "sign_tiles_local", "tile2d_shape", "max_passes", "band_chunk",
-        "sign_chunk",
+        "max_passes", "band_chunk", "jfa_tile_shape",
     ),
 )
 def _sharded_core(
-    tri_verts, f_hi, f_lo,
-    band_ids, band_cand, band_valid,
-    sign_ids, sign_cand, sign_valid,
+    tri_verts,
+    band_ids, band_cand, band_valid, parity_packed,
     origin, dx,
-    *, mesh_obj, block, band_tiles_local, tile_shape,
-    sign_tiles_local, tile2d_shape, max_passes, band_chunk, sign_chunk,
+    *, mesh_obj, block, band_tiles_local, tile_shape, max_passes, band_chunk,
+    jfa_tile_shape,
 ):
     """Returns phi blocks (Dj, Dk, ni, nj_l, nk_l), grid-sharded over the mesh."""
-    inner = _make_inner(
-        block, band_tiles_local, tile_shape, sign_tiles_local,
-        tile2d_shape, max_passes, band_chunk, sign_chunk,
-    )
+    inner = _make_inner(block, band_tiles_local, tile_shape, max_passes,
+                        band_chunk, jfa_tile_shape)
     blk2 = P("j", "k", None)
     blk3 = P("j", "k", None, None)
+    blk4 = P("j", "k", None, None, None)
     return shard_map(
         inner,
         mesh=mesh_obj,
-        in_specs=(P(), P(), P(), P(), P(), blk2, blk3, blk3, blk2, blk3, blk3),
+        in_specs=(P(), P(), P(), blk2, blk3, blk3, blk4),
         out_specs=P("j", "k", None, None, None),
         check_vma=False,
     )(
-        tri_verts, f_hi, f_lo, origin, dx,
-        band_ids, band_cand, band_valid,
-        sign_ids, sign_cand, sign_valid,
+        tri_verts, origin, dx,
+        band_ids, band_cand, band_valid, parity_packed,
     )
 
 
@@ -423,17 +400,14 @@ def sharded_sdf(
     tri_verts = v[jnp.asarray(binned.tris)]
     out = _sharded_core(
         tri_verts,
-        jnp.asarray(binned.f_hi), jnp.asarray(binned.f_lo),
         jnp.asarray(binned.band_ids), jnp.asarray(binned.band_cand),
         jnp.asarray(binned.band_valid),
-        jnp.asarray(binned.sign_ids), jnp.asarray(binned.sign_cand),
-        jnp.asarray(binned.sign_valid),
+        jnp.asarray(binned.parity_packed),
         jnp.asarray(binned.grid.origin, jnp.float32), jnp.float32(binned.grid.dx),
         mesh_obj=device_mesh, block=binned.block,
         band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
-        sign_tiles_local=binned.sign_tiles_local, tile2d_shape=cfg.tile2d_shape,
         max_passes=cfg.max_passes, band_chunk=cfg.band_chunk,
-        sign_chunk=cfg.sign_chunk,
+        jfa_tile_shape=cfg.jfa_tile_shape,
     )
     if not assemble:
         return out

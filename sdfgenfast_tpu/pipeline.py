@@ -31,9 +31,11 @@ import numpy as np
 from .grid import GridSpec
 from .mesh import Mesh
 from .ops import band as band_ops
+from .ops import jfa as jfa_ops
 from .ops import sign as sign_ops
+from .ops import sign_host as sign_host_ops
 from .ops import sweep as sweep_ops
-from .ops.geometry import point_triangle_distance_sq
+from .ops.geometry import point_triangle_distance_sq_soa
 
 __all__ = ["SDFConfig", "Binned", "bin_mesh", "sdf_from_tri_verts", "make_level_set3"]
 
@@ -42,12 +44,19 @@ __all__ = ["SDFConfig", "Binned", "bin_mesh", "sdf_from_tri_verts", "make_level_
 class SDFConfig:
     exact_band: int = 1
     far_field: str = "exact"  # "exact" (CPU-backend semantics) | "eikonal" (CUDA)
+    # "host": parity computed in NumPy float64 during binning (exact reference
+    # parity, fastest); "device": double-float SOS predicates on device
+    # (self-contained, but this backend compiles the long df chains slowly)
+    sign_mode: str = "host"
     tile_shape: Tuple[int, int, int] = band_ops.DEFAULT_TILE
     tile2d_shape: Tuple[int, int] = sign_ops.DEFAULT_TILE_2D
     # safety cap only — the propagation while_loop exits as soon as a full
     # pass changes nothing; sharded runs advance one shard per pass, so the
     # cap must exceed (passes to converge) + (shard count along j/k)
     max_passes: int = 64
+    # far-field JFA granularity (decoupled from the band tiling): finer tiles
+    # give more local candidates at the same total evaluation cost
+    jfa_tile_shape: Tuple[int, int, int] = (4, 4, 4)
     eikonal_iters: Optional[int] = None  # default 2*max(n), like .cu:690
     band_chunk: int = 128
     sign_chunk: int = 64
@@ -65,8 +74,9 @@ class Binned:
     grid: GridSpec
     config: SDFConfig
     band: band_ops.BandBinning
-    sign: sign_ops.SignBinning
+    sign: Optional[sign_ops.SignBinning]
     tris: np.ndarray  # (M, 3) int32
+    parity_packed: Optional[np.ndarray] = None  # host-mode parity, packbits(i)
 
 
 def _bucket(n: int, minimum: int = 64) -> int:
@@ -82,7 +92,14 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
     bb = band_ops.bin_triangles(
         mesh.verts, mesh.tris, grid, config.exact_band, config.tile_shape
     )
-    sb = sign_ops.bin_triangles_2d(mesh.verts, mesh.tris, grid, config.tile2d_shape)
+
+    def pad_band(bb):
+        bb_ids, bb_cand, bb_valid = pad_rows(bb, _bucket(bb.num_active))
+        T_band = int(np.prod(bb.tiles_dim))
+        bb_ids[bb.num_active :] = T_band  # sentinel row: dropped by scatter
+        return dataclasses.replace(
+            bb, active_ids=bb_ids, cand=bb_cand, cand_valid=bb_valid
+        )
 
     def pad_rows(b, target):
         a = b.active_ids.shape[0]
@@ -93,21 +110,22 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
             np.pad(b.cand_valid, ((0, pad), (0, 0))),
         )
 
-    # Bucket the active-tile counts so repeated meshes of similar density
-    # share compiled programs. Padded rows carry cand_valid=False and write
-    # tile 0 harmlessly? No — padded rows would row-scatter into tile 0.
-    # Instead pad active_ids with a sentinel row index == T (one extra row).
-    bb_ids, bb_cand, bb_valid = pad_rows(bb, _bucket(bb.num_active))
-    T_band = int(np.prod(bb.tiles_dim))
-    bb_ids[bb.num_active :] = T_band  # sentinel row (extra row added on device)
-    bb = dataclasses.replace(bb, active_ids=bb_ids, cand=bb_cand, cand_valid=bb_valid)
+    if config.sign_mode == "host":
+        parity = sign_host_ops.parity_field_host(mesh.verts, mesh.tris, grid)
+        packed = sign_host_ops.pack_parity(parity)
+        return Binned(grid, config, pad_band(bb), None,
+                      mesh.tris.astype(np.int32), packed)
+    elif config.sign_mode != "device":
+        raise ValueError(f"unknown sign_mode: {config.sign_mode}")
+
+    sb = sign_ops.bin_triangles_2d(mesh.verts, mesh.tris, grid, config.tile2d_shape)
 
     sb_ids, sb_cand, sb_valid = pad_rows(sb, _bucket(sb.active_ids.shape[0]))
     T_sign = int(np.prod(sb.tiles_dim))
     sb_ids[len(sb.active_ids) :] = T_sign  # sentinel: dropped by scatter
     sb = dataclasses.replace(sb, active_ids=sb_ids, cand=sb_cand, cand_valid=sb_valid)
 
-    return Binned(grid, config, bb, sb, mesh.tris.astype(np.int32))
+    return Binned(grid, config, pad_band(bb), sb, mesh.tris.astype(np.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -115,33 +133,57 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
-def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None):
+def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None,
+                   chunk_cells: int = 1 << 20):
     """phi(cell) = sign * point_triangle_distance(cell, tri_verts[tid]).
 
     tid/parity are integer fields (implicitly non-differentiable); gradients
     flow to tri_verts through the closest-point evaluation only. `ijk_offset`
     shifts local block indices to global ones for sharded evaluation.
+
+    Memory layout: gathers go through a (9, N) transposed triangle table and
+    flat cell chunks — a (N, 3, 3) gather would be padded by TPU tiling to
+    (N, 4, 128) (2000x waste at grid scale).
     """
     ni, nj, nk = tid.shape
     if ijk_offset is None:
         ijk_offset = jnp.zeros((3,), jnp.int32)
-    gi = (jnp.arange(ni, dtype=jnp.int32) + ijk_offset[0]).astype(jnp.float32) * dx + origin[0]
-    gj = (jnp.arange(nj, dtype=jnp.int32) + ijk_offset[1]).astype(jnp.float32) * dx + origin[1]
-    gk = (jnp.arange(nk, dtype=jnp.int32) + ijk_offset[2]).astype(jnp.float32) * dx + origin[2]
-    gx = jnp.stack(
-        [
-            jnp.broadcast_to(gi[:, None, None], tid.shape),
-            jnp.broadcast_to(gj[None, :, None], tid.shape),
-            jnp.broadcast_to(gk[None, None, :], tid.shape),
-        ],
-        axis=-1,
-    )
-    tv = tri_verts[jnp.maximum(tid, 0)]  # (ni, nj, nk, 3, 3)
-    d2 = point_triangle_distance_sq(gx, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :])
-    d = jnp.sqrt(jnp.maximum(d2, jnp.float32(1e-30)))
-    d = jnp.where(tid >= 0, d, upper)
-    return jnp.where(parity, -d, d)
+    tri9 = tri_verts.reshape(-1, 9).T  # (9, M)
+
+    N = ni * nj * nk
+    CH = min(chunk_cells, N)
+    n_chunks = -(-N // CH)
+    pad = n_chunks * CH - N
+    flat_tid = jnp.pad(tid.reshape(-1), (0, pad)).reshape(n_chunks, CH)
+    flat_par = jnp.pad(parity.reshape(-1), (0, pad)).reshape(n_chunks, CH)
+    base = (jnp.arange(n_chunks, dtype=jnp.int32) * CH)
+
+    @partial(jax.checkpoint, policy=jax.checkpoint_policies.nothing_saveable)
+    def slab(args):
+        t, par, b0 = args
+        idx = b0 + jnp.arange(CH, dtype=jnp.int32)
+        ci = idx // (nj * nk) + ijk_offset[0]
+        cj = (idx // nk) % nj + ijk_offset[1]
+        ck = idx % nk + ijk_offset[2]
+        p = (
+            ci.astype(jnp.float32) * dx + origin[0],
+            cj.astype(jnp.float32) * dx + origin[1],
+            ck.astype(jnp.float32) * dx + origin[2],
+        )
+        tv = tri9[:, jnp.maximum(t, 0)]  # (9, CH)
+        a = (tv[0], tv[1], tv[2])
+        bb = (tv[3], tv[4], tv[5])
+        c = (tv[6], tv[7], tv[8])
+        d2 = point_triangle_distance_sq_soa(p, a, bb, c)
+        d = jnp.sqrt(jnp.maximum(d2, jnp.float32(1e-30)))
+        d = jnp.where(t >= 0, d, upper)
+        return jnp.where(par, -d, d)
+
+    if n_chunks == 1:
+        out = slab((flat_tid[0], flat_par[0], base[0]))[None]
+    else:
+        out = jax.lax.map(slab, (flat_tid, flat_par, base))
+    return out.reshape(-1)[:N].reshape(ni, nj, nk)
 
 
 # ---------------------------------------------------------------------------
@@ -149,31 +191,54 @@ def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None):
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "grid_shape",
-        "tile_shape",
-        "tiles_dim",
-        "tile2d_shape",
-        "tiles2d_dim",
-        "far_field",
-        "max_passes",
-        "eikonal_iters",
-        "band_chunk",
-        "sign_chunk",
-    ),
-)
+@partial(jax.jit, static_argnames=("jfa_tiles_dim", "jfa_tile_shape", "band_tile_shape", "band_tiles_dim"))
+def _jfa_stage(tri_verts, band_ids, band_cand, band_valid, origin, dx,
+               *, jfa_tiles_dim, jfa_tile_shape, band_tile_shape, band_tiles_dim):
+    seed = jfa_ops.tile_seed_field(
+        tri_verts, band_ids, band_cand, band_valid, band_tiles_dim,
+        band_tile_shape, jfa_tiles_dim, jfa_tile_shape, origin, dx,
+    )
+    t1, t2 = jfa_ops.tile_jfa_closest(
+        tri_verts, seed, jfa_tiles_dim, jfa_tile_shape, origin, dx
+    )
+    return jfa_ops.neighborhood_candidates(t1, t2)
+
+
+@jax.jit
+def _merge_stage(phi_far, tid_far, phi0, tid0):
+    better = phi_far < phi0
+    return jnp.where(better, phi_far, phi0), jnp.where(better, tid_far, tid0)
+
+
+@partial(jax.jit, static_argnames=("max_passes",))
+def _refine_stage(phi, tid, tri_verts, origin, dx, max_passes=10):
+    return jfa_ops.refine_closest(
+        phi, tid, tri_verts, origin, dx, max_passes=max_passes
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk_cells",))
+def _recompute_stage(tri_verts, tid, parity, origin, dx, upper, chunk_cells=1 << 20):
+    return _recompute_phi(tri_verts, tid, parity, origin, dx, upper,
+                          chunk_cells=chunk_cells)
+
+
+@partial(jax.jit, static_argnames=("ni",))
+def _unpack_parity_stage(parity_packed, ni):
+    return sign_host_ops.unpack_parity_device(parity_packed, ni)
+
+
 def sdf_from_tri_verts(
     tri_verts,  # (M, 3, 3) f32 — differentiable input
     f_hi,
-    f_lo,  # (M, 3, 3) f32 sign-pass df coordinates (non-diff)
+    f_lo,  # (M, 3, 3) f32 sign-pass df coordinates (non-diff; device mode)
     band_ids,
     band_cand,
     band_valid,
     sign_ids,
     sign_cand,
     sign_valid,
+    parity_packed,  # packed host parity (host mode) or None
     origin,
     dx,
     *,
@@ -187,7 +252,15 @@ def sdf_from_tri_verts(
     eikonal_iters=None,
     band_chunk=128,
     sign_chunk=64,
+    jfa_tile_shape=(4, 4, 4),
+    sign_mode="host",
 ):
+    """Full pipeline, orchestrated as SEPARATELY-JITTED stages.
+
+    One fused program triggers super-linear compile times on this backend
+    (~10 min for the 64-grid pipeline vs ~2 min as stages); only the final
+    `_recompute_stage` is differentiable, everything upstream is integer
+    fields behind stop_gradient, so stage boundaries cost nothing."""
     ni, nj, nk = grid_shape
     upper = jnp.float32(ni + nj + nk) * dx
 
@@ -206,30 +279,64 @@ def sdf_from_tri_verts(
         chunk=band_chunk,
     )
 
-    parity = sign_ops.parity_field(
-        f_hi,
-        f_lo,
-        sign_ids,
-        sign_cand,
-        sign_valid,
-        tile_shape=tile2d_shape,
-        tiles_dim=tiles2d_dim,
-        grid_shape=grid_shape,
-        chunk=sign_chunk,
-    )
+    if sign_mode == "host":
+        parity = _unpack_parity_stage(parity_packed, ni)
+    else:
+        parity = sign_ops.parity_field(
+            f_hi,
+            f_lo,
+            sign_ids,
+            sign_cand,
+            sign_valid,
+            tile_shape=tile2d_shape,
+            tiles_dim=tiles2d_dim,
+            grid_shape=grid_shape,
+            chunk=sign_chunk,
+        )
 
     if far_field == "exact":
+        # tile-level jump flooding + per-tile 27-neighborhood evaluation
+        # (the TPU-shaped equivalent of the reference's id-propagating sweeps).
+        # The JFA grid is derived from the band tile grid (each band tile
+        # splits into r^3 JFA subtiles) so single-device and sharded runs use
+        # identical JFA dims.
+        r = tuple(t // j for t, j in zip(tile_shape, jfa_tile_shape))
+        if any(rr * j != t for rr, j, t in zip(r, jfa_tile_shape, tile_shape)):
+            raise ValueError(
+                f"jfa_tile_shape {jfa_tile_shape} must divide tile_shape {tile_shape}"
+            )
+        jfa_tiles_dim = tuple(n * rr for n, rr in zip(tiles_dim, r))
+        cands = _jfa_stage(
+            tv_ng, band_ids, band_cand, band_valid, origin, dx,
+            jfa_tiles_dim=jfa_tiles_dim, jfa_tile_shape=jfa_tile_shape,
+            band_tile_shape=tile_shape, band_tiles_dim=tiles_dim,
+        )  # (T, 56)
+        T = cands.shape[0]
+        phi_far, tid_far = band_ops.band_distance_field(
+            tv_ng,
+            jnp.arange(T, dtype=jnp.int32),
+            jnp.maximum(cands, 0),
+            cands >= 0,
+            origin, dx,
+            tile_shape=jfa_tile_shape, tiles_dim=jfa_tiles_dim,
+            grid_shape=grid_shape, chunk=band_chunk,
+        )
+        phi, tid = _merge_stage(phi_far, tid_far, phi0, tid0)
+        phi, tid = _refine_stage(phi, tid, tv_ng, origin, dx)
+        return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
+    elif far_field == "propagate":
+        # legacy mode: directional plane scans to the 26-neighbor fixed point
         phi, tid = sweep_ops.propagate_closest_triangles(
             phi0, tid0, tv_ng, origin, dx, max_passes=max_passes
         )
-        return _recompute_phi(tri_verts, tid, parity, origin, dx, upper), tid
+        return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
     elif far_field == "eikonal":
         iters = eikonal_iters if eikonal_iters is not None else 2 * max(grid_shape)
         frozen = tid0 >= 0
         phi = sweep_ops.eikonal_far_field(phi0, frozen, dx, iters)
         # Differentiable on the frozen band only; far field follows Eikonal
         # estimates (matching the CUDA backend's semantics, .cu:487-551).
-        band_phi = _recompute_phi(tri_verts, tid0, parity, origin, dx, upper)
+        band_phi = _recompute_stage(tri_verts, tid0, parity, origin, dx, upper)
         far_phi = jnp.where(parity, -phi, phi)
         return jnp.where(frozen, band_phi, far_phi), tid0
     else:
@@ -270,28 +377,51 @@ def make_level_set3(
     tris = jnp.asarray(binned.tris)
     tri_verts = jnp.asarray(v)[tris]
 
+    if config.sign_mode == "host":
+        dummy = jnp.zeros((0,), jnp.float32)
+        sign_args = dict(
+            f_hi=dummy, f_lo=dummy,
+            sign_ids=dummy, sign_cand=dummy, sign_valid=dummy,
+            parity_packed=jnp.asarray(binned.parity_packed),
+            tile2d_shape=(1, 1), tiles2d_dim=(1, 1),
+        )
+    else:
+        sign_args = dict(
+            f_hi=jnp.asarray(binned.sign.f_hi),
+            f_lo=jnp.asarray(binned.sign.f_lo),
+            sign_ids=jnp.asarray(binned.sign.active_ids),
+            sign_cand=jnp.asarray(binned.sign.cand),
+            sign_valid=jnp.asarray(binned.sign.cand_valid),
+            parity_packed=jnp.zeros((0,), jnp.uint8),
+            tile2d_shape=binned.sign.tile_shape,
+            tiles2d_dim=binned.sign.tiles_dim,
+        )
+
     phi, tid = sdf_from_tri_verts(
         tri_verts,
-        jnp.asarray(binned.sign.f_hi),
-        jnp.asarray(binned.sign.f_lo),
+        sign_args["f_hi"],
+        sign_args["f_lo"],
         jnp.asarray(binned.band.active_ids),
         jnp.asarray(binned.band.cand),
         jnp.asarray(binned.band.cand_valid),
-        jnp.asarray(binned.sign.active_ids),
-        jnp.asarray(binned.sign.cand),
-        jnp.asarray(binned.sign.cand_valid),
+        sign_args["sign_ids"],
+        sign_args["sign_cand"],
+        sign_args["sign_valid"],
+        sign_args["parity_packed"],
         jnp.asarray(grid.origin, jnp.float32),
         jnp.float32(grid.dx),
         grid_shape=grid.shape,
         tile_shape=binned.band.tile_shape,
         tiles_dim=binned.band.tiles_dim,
-        tile2d_shape=binned.sign.tile_shape,
-        tiles2d_dim=binned.sign.tiles_dim,
+        tile2d_shape=sign_args["tile2d_shape"],
+        tiles2d_dim=sign_args["tiles2d_dim"],
         far_field=config.far_field,
         max_passes=config.max_passes,
         eikonal_iters=config.eikonal_iters,
         band_chunk=config.band_chunk,
         sign_chunk=config.sign_chunk,
+        jfa_tile_shape=config.jfa_tile_shape,
+        sign_mode=config.sign_mode,
     )
     if return_tid:
         return phi, tid
