@@ -97,14 +97,24 @@ def main():
             f"-> {r['voxels_per_sec']/1e6:.1f}M voxels/s (inside {r['inside_frac']:.3f})"
         )
 
-    v = results[max(sizes)]["voxels_per_sec"]
+    top = max(sizes)
+    v = results[top]["voxels_per_sec"]
     print(
         json.dumps(
             {
-                "metric": "voxels/sec/chip @ mode2a Nx=256 (3x4x5 box STL)",
+                "metric": f"voxels/sec/chip @ mode2a Nx={top} (3x4x5 box STL)",
                 "value": round(v, 1),
                 "unit": "voxels/s",
                 "vs_baseline": round(v / BASELINE_VOXELS_PER_SEC, 3),
+                "detail": {
+                    str(nx): {
+                        "cells": r["cells"],
+                        "time_ms": round(r["time_s"] * 1e3, 2),
+                        "compile_s": round(r["compile_s"], 2),
+                        "mvoxels_per_sec": round(r["voxels_per_sec"] / 1e6, 2),
+                    }
+                    for nx, r in results.items()
+                },
             }
         )
     )

@@ -81,20 +81,27 @@ def load_mesh(filename: str) -> Tuple[np.ndarray, np.ndarray, tuple]:
 
 
 def _validate_mesh_arrays(vertices, triangles):
+    """Shape/dtype validation with the reference's conversion semantics:
+    compatible numeric dtypes are AUTO-CONVERTED to float32/uint32 (the
+    nanobind layer converts int32 inputs, python/tests/test_sdfgen.py:770-800)
+    and non-contiguous inputs are copied; wrong shapes/kinds raise."""
     vertices = np.asarray(vertices)
     triangles = np.asarray(triangles)
     if vertices.ndim != 2 or vertices.shape[1] != 3:
         raise TypeError(f"vertices must have shape (N, 3), got {vertices.shape}")
     if triangles.ndim != 2 or triangles.shape[1] != 3:
         raise TypeError(f"triangles must have shape (M, 3), got {triangles.shape}")
-    if vertices.dtype != np.float32:
-        raise TypeError(f"vertices dtype must be float32, got {vertices.dtype}")
-    if triangles.dtype != np.uint32:
-        raise TypeError(f"triangles dtype must be uint32, got {triangles.dtype}")
-    if not vertices.flags["C_CONTIGUOUS"]:
-        raise TypeError("vertices must be C-contiguous")
-    if not triangles.flags["C_CONTIGUOUS"]:
-        raise TypeError("triangles must be C-contiguous")
+    if not np.issubdtype(vertices.dtype, np.floating) and not np.issubdtype(
+        vertices.dtype, np.integer
+    ):
+        raise TypeError(f"vertices dtype must be numeric, got {vertices.dtype}")
+    if not np.issubdtype(triangles.dtype, np.integer):
+        raise TypeError(f"triangles dtype must be an integer type, got {triangles.dtype}")
+    if np.issubdtype(triangles.dtype, np.signedinteger) and triangles.size:
+        if int(triangles.min()) < 0:
+            raise ValueError("triangle indices must be non-negative")
+    vertices = np.ascontiguousarray(vertices, dtype=np.float32)
+    triangles = np.ascontiguousarray(triangles, dtype=np.uint32)
     return vertices, triangles
 
 

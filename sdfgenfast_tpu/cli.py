@@ -56,6 +56,34 @@ The program will detect and report which backend is being used.
 """
 
 
+def _atoi(s: str) -> int:
+    """C `atoi` semantics: parse the longest leading integer prefix after
+    optional whitespace/sign; 0 if none. The reference parses every numeric
+    CLI arg this way (app/main.cpp:114-162), so `not_a_number` becomes 0 and
+    is then rejected by the positive-dimension checks — never a crash."""
+    s = s.lstrip()
+    i = 0
+    if i < len(s) and s[i] in "+-":
+        i += 1
+    j = i
+    while j < len(s) and s[j].isdigit():
+        j += 1
+    if j == i:
+        return 0
+    return int(s[:j])
+
+
+def _atof(s: str) -> float:
+    """C `atof` semantics: longest leading float prefix, 0.0 if none
+    (mode 1 parses dx via istringstream, app/main.cpp:204-206; same
+    degrade-to-error behavior)."""
+    s = s.lstrip()
+    import re
+
+    m = re.match(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", s)
+    return float(m.group(0)) if m else 0.0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv if argv is None else argv)
     argc = len(argv)
@@ -98,13 +126,13 @@ def main(argv=None) -> int:
         mesh_size = max_box - min_box
 
         # argc==5 ambiguity heuristic: argv[3] < 20 => mode 2a (app/main.cpp:114)
-        is_mode2a = argc == 3 or argc == 4 or (argc == 5 and int(argv[3]) < 20)
+        is_mode2a = argc == 3 or argc == 4 or (argc == 5 and _atoi(argv[3]) < 20)
         if is_mode2a:
-            target_nx = int(argv[2])
+            target_nx = _atoi(argv[2])
             if argc >= 4:
-                padding = int(argv[3])
+                padding = _atoi(argv[3])
             if argc == 5:
-                num_threads = int(argv[4])
+                num_threads = _atoi(argv[4])
             if target_nx <= 0:
                 print("Error: Grid dimension must be a positive integer.", file=sys.stderr)
                 return 255
@@ -120,11 +148,11 @@ def main(argv=None) -> int:
             print(f"  dx = {grid.dx:g} m (based on X dimension)")
             target = (target_nx, grid.nj, grid.nk)
         else:
-            target_nx, target_ny, target_nz = int(argv[2]), int(argv[3]), int(argv[4])
+            target_nx, target_ny, target_nz = _atoi(argv[2]), _atoi(argv[3]), _atoi(argv[4])
             if argc >= 6:
-                padding = int(argv[5])
+                padding = _atoi(argv[5])
             if argc == 7:
-                num_threads = int(argv[6])
+                num_threads = _atoi(argv[6])
             if target_nx <= 0 or target_ny <= 0 or target_nz <= 0:
                 print("Error: Grid dimensions must be positive integers.", file=sys.stderr)
                 return 255
@@ -146,16 +174,15 @@ def main(argv=None) -> int:
         if len(filename) < 5 or not filename.lower().endswith(".obj"):
             print("Error: Mode 1 requires OBJ file (.obj extension).", file=sys.stderr)
             return 255
-        try:
-            dx_in = float(argv[2])
-            padding = int(argv[3])
-        except ValueError:
-            print("Error: invalid dx or padding.", file=sys.stderr)
+        dx_in = _atof(argv[2])
+        padding = _atoi(argv[3])
+        if dx_in <= 0.0:
+            print("Error: Grid spacing dx must be a positive number.", file=sys.stderr)
             return 255
         if padding < 1:
             padding = 1
         if argc >= 5:
-            num_threads = int(argv[4])
+            num_threads = _atoi(argv[4])
         print(f"Grid spacing (dx): {dx_in:g}")
         print(f"Padding: {padding} cells\n")
         try:
@@ -182,16 +209,29 @@ def main(argv=None) -> int:
         print("No TPU detected")
         print("  Implementation: CPU (XLA)\n")
 
-    phi = np.asarray(make_level_set3(mesh, grid, SDFConfig()))
+    try:
+        phi = np.asarray(make_level_set3(mesh, grid, SDFConfig()))
+    except (ValueError, RuntimeError) as e:
+        print(f"Error: SDF computation failed: {e}", file=sys.stderr)
+        return 255
     print("SDF computation complete.\n")
 
     base = filename[: filename.rfind(".")]
-    if mode_precise:
-        outname = f"{base}_sdf_{grid.ni}x{grid.nj}x{grid.nk}.sdf"
+    suffix = f"_sdf_{grid.ni}x{grid.nj}x{grid.nk}" if mode_precise else ""
+    # VTK output hook: the reference writes .vti instead of .sdf when built
+    # with VTK (compile-time HAVE_VTK, app/main.cpp:281-317). The runtime
+    # analog of that build flag is the SDFGEN_TPU_VTI env var.
+    if os.environ.get("SDFGEN_TPU_VTI", "") not in ("", "0"):
+        from .io.vti import write_vti
+
+        outname = f"{base}{suffix}.vti"
+        print(f"Writing VTK output to: {outname}")
+        write_vti(outname, phi, grid.origin, grid.dx)
+        inside_count = int((phi < 0.0).sum())
     else:
-        outname = base + ".sdf"
-    print(f"Writing binary SDF to: {outname}")
-    inside_count = sdf_io.write_sdf(outname, phi, grid.origin, grid.dx)
+        outname = f"{base}{suffix}.sdf"
+        print(f"Writing binary SDF to: {outname}")
+        inside_count = sdf_io.write_sdf(outname, phi, grid.origin, grid.dx)
     total_count = grid.num_cells
 
     print("\n========================================")

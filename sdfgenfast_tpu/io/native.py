@@ -78,6 +78,16 @@ def _load() -> Optional[ctypes.CDLL]:
             c.POINTER(c.c_int32), c.POINTER(c.c_float),
             c.c_char_p, c.c_int,
         ]
+        if hasattr(lib, "sdfgenio_parity_packed"):
+            lib.sdfgenio_parity_packed.restype = c.c_int
+            lib.sdfgenio_parity_packed.argtypes = [
+                c.POINTER(c.c_float), c.c_int64,
+                c.POINTER(c.c_uint32), c.c_int64,
+                c.POINTER(c.c_double), c.c_double,
+                c.c_int32, c.c_int32, c.c_int32,
+                c.POINTER(c.c_uint8), c.c_int,
+                c.c_char_p, c.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -140,6 +150,35 @@ def write_sdf(path: str, phi: np.ndarray, origin, dx: float) -> int:
     if rc != 0:
         raise NativeIOError(err.value.decode() or f"write_sdf failed ({rc})")
     return int(inside.value)
+
+
+def parity_packed(verts: np.ndarray, tris: np.ndarray, origin, dx: float,
+                  shape, num_threads: int = 0) -> Optional[np.ndarray]:
+    """Native exact-f64 x-ray parity, bit-packed along i: the output of
+    ``sign_host.pack_parity(parity_field_host(...))``. Returns None when the
+    native library (or the symbol) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sdfgenio_parity_packed"):
+        return None
+    c = ctypes
+    ni, nj, nk = (int(v) for v in shape)
+    verts32 = np.ascontiguousarray(verts, dtype=np.float32)
+    tris32 = np.ascontiguousarray(tris, dtype=np.uint32)
+    origin64 = np.ascontiguousarray(np.asarray(origin, np.float64))
+    packed = np.zeros(((ni + 7) // 8, nj, nk), dtype=np.uint8)
+    err = c.create_string_buffer(256)
+    rc = lib.sdfgenio_parity_packed(
+        verts32.ctypes.data_as(c.POINTER(c.c_float)), len(verts32),
+        tris32.ctypes.data_as(c.POINTER(c.c_uint32)), len(tris32),
+        origin64.ctypes.data_as(c.POINTER(c.c_double)),
+        c.c_double(float(np.float64(np.float32(dx)))),
+        ni, nj, nk,
+        packed.ctypes.data_as(c.POINTER(c.c_uint8)), num_threads,
+        err, 256,
+    )
+    if rc != 0:
+        raise NativeIOError(err.value.decode() or f"parity_packed failed ({rc})")
+    return packed
 
 
 def read_sdf(path: str):

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..grid import GridSpec
-from .geometry import point_triangle_distance_sq_soa
+from .geometry import gather_tri9, point_triangle_distance_sq_soa
 
 __all__ = ["BandBinning", "bin_triangles", "band_distance_field"]
 
@@ -227,11 +227,11 @@ def band_distance_field(
         # (makelevelset3.cpp:214).
         gx = cell_idx.astype(jnp.float32) * dx + origin  # (B, C, 3)
 
-        tv = tri9[:, cd]  # (9, B, K)
+        ga, gb, gc = gather_tri9(tri9, cd)  # 3 x 3-tuples of (B, K)
         p = tuple(gx[:, :, None, ax] for ax in range(3))  # (B, C, 1)
-        va = tuple(tv[ax][:, None, :] for ax in range(3))  # (B, 1, K)
-        vb = tuple(tv[3 + ax][:, None, :] for ax in range(3))
-        vc = tuple(tv[6 + ax][:, None, :] for ax in range(3))
+        va = tuple(v[:, None, :] for v in ga)  # (B, 1, K)
+        vb = tuple(v[:, None, :] for v in gb)
+        vc = tuple(v[:, None, :] for v in gc)
         d2 = point_triangle_distance_sq_soa(p, va, vb, vc)  # (B, C, K)
         d2 = jnp.where(vd[:, None, :], d2, jnp.float32(jnp.inf))
         # Tie-break: the reference keeps the FIRST triangle achieving the min

@@ -19,12 +19,30 @@ from typing import Tuple
 import jax.numpy as jnp
 
 __all__ = [
+    "gather_tri9",
     "point_segment_distance_sq",
     "point_triangle_distance_sq",
     "point_triangle_distance_sq_soa",
     "point_triangle_distance",
     "closest_point_weights",
 ]
+
+
+def gather_tri9(tri9, tid):
+    """Gather triangle vertex coordinates as 9 SEPARATE 1-D gathers.
+
+    `tri9` is the (9, M) SoA vertex table, `tid` any integer index array
+    (negative ids are clamped to 0 — callers mask by tid >= 0). Returns
+    (a, b, c): three length-3 tuples of arrays shaped like `tid`.
+
+    Why not `tri9[:, flat]`: XLA lays that gather out as [N, 9], and TPU
+    tiling pads the trailing 9 up to 128 — a 14.2x memory blowup that
+    OOM'd the 256-class grid in round 1. Nine 1-D gathers have no small
+    trailing dim and no padding waste.
+    """
+    flat = jnp.maximum(tid, 0).reshape(-1)
+    vs = [jnp.take(tri9[r], flat, axis=0).reshape(tid.shape) for r in range(9)]
+    return tuple(vs[0:3]), tuple(vs[3:6]), tuple(vs[6:9])
 
 
 def point_triangle_distance_sq_soa(p, a, b, c):

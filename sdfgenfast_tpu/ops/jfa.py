@@ -29,9 +29,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .geometry import point_triangle_distance_sq_soa
+from .geometry import gather_tri9, point_triangle_distance_sq_soa
 
-__all__ = ["tile_seed_field", "tile_jfa_closest", "neighborhood_candidates"]
+__all__ = [
+    "tile_seed_field",
+    "tile_jfa_closest",
+    "neighborhood_candidates",
+]
 
 
 def tile_seed_field(
@@ -81,11 +85,11 @@ def tile_seed_field(
     cy = (g_j.astype(jnp.float32) * jj_ + (jj_ - 1) * 0.5) * dx + origin[1]
     cz = (g_k.astype(jnp.float32) * jk + (jk - 1) * 0.5) * dx + origin[2]
 
-    tv = tri9[:, cand]  # (9, A, K)
+    ga, gb, gc = gather_tri9(tri9, cand)  # 3 x 3-tuples of (A, K)
     p = (cx[:, :, None], cy[:, :, None], cz[:, :, None])  # (A, R, 1)
-    a = (tv[0][:, None, :], tv[1][:, None, :], tv[2][:, None, :])  # (A, 1, K)
-    b = (tv[3][:, None, :], tv[4][:, None, :], tv[5][:, None, :])
-    c = (tv[6][:, None, :], tv[7][:, None, :], tv[8][:, None, :])
+    a = tuple(v[:, None, :] for v in ga)  # (A, 1, K)
+    b = tuple(v[:, None, :] for v in gb)
+    c = tuple(v[:, None, :] for v in gc)
     d2 = point_triangle_distance_sq_soa(p, a, b, c)  # (A, R, K)
     d2 = jnp.where(valid[:, None, :], d2, jnp.float32(jnp.inf))
     am = jnp.argmin(d2, axis=-1)  # (A, R)
@@ -140,13 +144,8 @@ def _shift3(x, oi, oj, ok, fill):
 
 def _eval_tiles(tri9, tid, centers):
     """Squared distance from each tile center to its assigned triangle."""
-    safe = jnp.maximum(tid, 0)
-    flat = safe.reshape(-1)
-    tv = tri9[:, flat]  # (9, T) — large trailing dim, TPU-friendly
+    a, b, c = gather_tri9(tri9, tid)
     shape = tid.shape
-    a = tuple(tv[i].reshape(shape) for i in range(3))
-    b = tuple(tv[3 + i].reshape(shape) for i in range(3))
-    c = tuple(tv[6 + i].reshape(shape) for i in range(3))
     p = tuple(jnp.broadcast_to(centers[i], shape) for i in range(3))
     d2 = point_triangle_distance_sq_soa(p, a, b, c)
     return jnp.where(tid >= 0, d2, jnp.float32(jnp.inf))
@@ -214,7 +213,11 @@ def tile_jfa_closest(
     # NOTE: rounds and offsets are deliberately UNROLLED with static shifts.
     # A fori_loop + vmapped dynamic_slice formulation compiles far slower on
     # this backend than the larger-but-static program (measured >6 min vs
-    # ~80 s); the compiled result is cached persistently either way.
+    # ~80 s), and a fully streamed one-candidate-at-a-time insert chain is
+    # worse still (468 serially-dependent stages). The memory fix vs round 1
+    # lives in _eval_tiles: gather_tri9 keeps the vmapped gathers 1-D, so the
+    # (52, T) candidate batch costs 52*T*4 bytes instead of the 14.2x-padded
+    # [52*T, 9]->[52*T, 128] layout that OOM'd the 256-class grid.
     for s in strides:
         def shifted(t):
             return jnp.stack(
@@ -230,12 +233,20 @@ def tile_jfa_closest(
 
 
 def refine_closest(phi, tid, tri_verts, origin, dx, ijk_offset=None, max_passes=10):
-    """Cell-level Jacobi polish: each pass, every cell re-evaluates its 6 face
+    """Cell-level Jacobi polish: each pass, every cell re-evaluates its 26
     neighbors' triangle ids exactly and adopts strict improvements; iterate
     until unchanged. Mops up the rare JFA misses (medial-axis cells, truncated
     neighborhoods at grid corners). Monotone non-increasing -> converges to a
-    6-neighbor-stable state, same family of fixed point as the reference's
-    sweeps (check_neighbour, cpu_lib/makelevelset3.cpp:90-102)."""
+    26-neighbor-stable state, same family of fixed point as the reference's
+    sweeps (check_neighbour, cpu_lib/makelevelset3.cpp:90-102).
+
+    The offset loop is a fori_loop over dynamic slices of ONE halo-padded tid
+    field: a statically-unrolled 26-shift formulation let XLA hoist all 26
+    grid-sized shift buffers at once, OOMing HBM at the 256-class grid
+    (26 x 148 MB live simultaneously); the loop keeps peak memory at O(grid).
+    The full 26-neighbor stencil (not just faces) matters: face-only refines
+    stall at medial-axis local optima the reference's 8-direction sweeps
+    (7 diagonal-including neighbors each) would have escaped."""
     ni, nj, nk = phi.shape
     if ijk_offset is None:
         ijk_offset = jnp.zeros((3,), jnp.int32)
@@ -251,28 +262,31 @@ def refine_closest(phi, tid, tri_verts, origin, dx, ijk_offset=None, max_passes=
     p = (jnp.broadcast_to(px, shape), jnp.broadcast_to(py, shape),
          jnp.broadcast_to(pz, shape))
 
-    # full 26-neighbor stencil: face-only stalls at medial-axis local optima
-    # the reference's 8-direction sweeps (7 diagonal-including neighbors each)
-    # would have escaped
-
     def eval_tid(t):
-        flat = jnp.maximum(t, 0).reshape(-1)
-        tv = tri9[:, flat]
-        a = tuple(tv[i].reshape(shape) for i in range(3))
-        b = tuple(tv[3 + i].reshape(shape) for i in range(3))
-        c = tuple(tv[6 + i].reshape(shape) for i in range(3))
+        a, b, c = gather_tri9(tri9, t)
         d2 = point_triangle_distance_sq_soa(p, a, b, c)
         return jnp.where(t >= 0, d2, jnp.float32(jnp.inf))
 
+    offs = jnp.asarray(_OFFSETS, dtype=jnp.int32)
+
     def one_pass(state):
         d2_best, tid, it, _ = state
-        d2_new, tid_new = d2_best, tid
-        for a, b, c in _OFFSETS:  # static shifts: see tile_jfa_closest note
-            cand = _shift3(tid, a, b, c, jnp.int32(-1))
+        ext = jnp.pad(tid, 1, constant_values=-1)  # pass-start state (Jacobi)
+
+        def body(k, carry):
+            d2_new, tid_new = carry
+            o = offs[k]
+            cand = jax.lax.dynamic_slice(
+                ext, (1 - o[0], 1 - o[1], 1 - o[2]), (ni, nj, nk)
+            )
             d2c = eval_tid(cand)
             better = d2c < d2_new
-            d2_new = jnp.where(better, d2c, d2_new)
-            tid_new = jnp.where(better, cand, tid_new)
+            return (
+                jnp.where(better, d2c, d2_new),
+                jnp.where(better, cand, tid_new),
+            )
+
+        d2_new, tid_new = jax.lax.fori_loop(0, len(_OFFSETS), body, (d2_best, tid))
         changed = jnp.any(tid_new != tid)
         return d2_new, tid_new, it + 1, changed
 

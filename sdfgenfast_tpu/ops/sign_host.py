@@ -23,7 +23,34 @@ import numpy as np
 from ..grid import GridSpec
 from .band import triangle_grid_coords
 
-__all__ = ["parity_field_host", "pack_parity", "unpack_parity_device"]
+__all__ = [
+    "parity_field_host",
+    "parity_packed_host",
+    "pack_parity",
+    "unpack_parity_device",
+]
+
+
+def parity_packed_host(verts: np.ndarray, tris: np.ndarray, grid: GridSpec,
+                       num_threads: int = 0) -> np.ndarray:
+    """Bit-packed parity field, preferring the native C++ kernel.
+
+    The native path (csrc/sdfparity.cpp) computes the identical f64 SOS
+    predicates triangle-parallel and emits the packed layout directly —
+    ~40x faster than the NumPy fallback at 256-class grids, where the host
+    parity pass dominated end-to-end time (round-2 profiling)."""
+    from ..io import native
+
+    try:
+        packed = native.parity_packed(
+            verts, tris, grid.origin,
+            float(np.float32(grid.dx)), grid.shape, num_threads,
+        )
+    except native.NativeIOError:
+        packed = None
+    if packed is not None:
+        return packed
+    return pack_parity(parity_field_host(verts, tris, grid))
 
 
 def _orientation(x1, y1, x2, y2):

@@ -41,7 +41,7 @@ from ..mesh import Mesh as TriMesh
 from ..ops import band as band_ops
 from ..ops import jfa as jfa_ops
 from ..ops import sign_host as sign_host_ops
-from ..ops.geometry import point_triangle_distance_sq_soa
+from ..ops.geometry import gather_tri9, point_triangle_distance_sq_soa
 from ..pipeline import SDFConfig, _recompute_phi
 
 __all__ = ["make_device_mesh", "ShardedBinned", "bin_mesh_sharded", "sharded_sdf"]
@@ -152,9 +152,8 @@ def bin_mesh_sharded(
         bb.tiles_dim, band_tiles_local, dims,
     )
 
-    # host parity, globally, then packed per shard block
-    parity = sign_host_ops.parity_field_host(mesh.verts, mesh.tris, grid)
-    packed = sign_host_ops.pack_parity(parity)  # (ceil(ni/8), nj, nk)
+    # host parity, globally (native C++ kernel), then packed per shard block
+    packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
     packed_blocks = (
         packed.reshape(packed.shape[0], Dj, nj_l, Dk, nk_l)
         .transpose(1, 3, 0, 2, 4)
@@ -220,27 +219,36 @@ def _sharded_refine(d2, tid, tri9, pos_axes, max_passes):
         jnp.broadcast_to(pos_axes[2][None, None, :], shape),
     )
     def eval_tid(t):
-        flat = jnp.maximum(t, 0).reshape(-1)
-        tv = tri9[:, flat]
-        a = tuple(tv[i].reshape(shape) for i in range(3))
-        b = tuple(tv[3 + i].reshape(shape) for i in range(3))
-        c = tuple(tv[6 + i].reshape(shape) for i in range(3))
+        a, b, c = gather_tri9(tri9, t)
         dd = point_triangle_distance_sq_soa(p, a, b, c)
         return jnp.where(t >= 0, dd, jnp.float32(jnp.inf))
 
     ni, nj_l, nk_l = shape
+    offs = jnp.asarray(jfa_ops._OFFSETS, dtype=jnp.int32)
 
     def one_pass(state):
         d2_best, tid, it, _ = state
         ext = _exchange_tid_halos(tid)  # (ni+2, nj_l+2, nk_l+2), pass-start
-        d2_new, tid_new = d2_best, tid
-        # static slices (see ops/jfa.py note on this backend's compile cost)
-        for oi, oj, ok in jfa_ops._OFFSETS:
-            cand = ext[1 - oi : 1 - oi + ni, 1 - oj : 1 - oj + nj_l, 1 - ok : 1 - ok + nk_l]
+        # fori_loop over dynamic slices, not 26 static shifts: XLA hoists the
+        # unrolled shift buffers simultaneously and OOMs at large grids (same
+        # fix as ops/jfa.py refine_closest)
+
+        def body(k, carry):
+            d2_new, tid_new = carry
+            o = offs[k]
+            cand = jax.lax.dynamic_slice(
+                ext, (1 - o[0], 1 - o[1], 1 - o[2]), (ni, nj_l, nk_l)
+            )
             d2c = eval_tid(cand)
             better = d2c < d2_new
-            d2_new = jnp.where(better, d2c, d2_new)
-            tid_new = jnp.where(better, cand, tid_new)
+            return (
+                jnp.where(better, d2c, d2_new),
+                jnp.where(better, cand, tid_new),
+            )
+
+        d2_new, tid_new = jax.lax.fori_loop(
+            0, len(jfa_ops._OFFSETS), body, (d2_best, tid)
+        )
         changed_local = jnp.any(tid_new != tid).astype(jnp.int32)
         changed = jax.lax.psum(jax.lax.psum(changed_local, "j"), "k") > 0
         return d2_new, tid_new, it + 1, changed

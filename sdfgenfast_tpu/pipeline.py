@@ -35,7 +35,7 @@ from .ops import jfa as jfa_ops
 from .ops import sign as sign_ops
 from .ops import sign_host as sign_host_ops
 from .ops import sweep as sweep_ops
-from .ops.geometry import point_triangle_distance_sq_soa
+from .ops.geometry import gather_tri9, point_triangle_distance_sq_soa
 
 __all__ = ["SDFConfig", "Binned", "bin_mesh", "sdf_from_tri_verts", "make_level_set3"]
 
@@ -111,8 +111,7 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
         )
 
     if config.sign_mode == "host":
-        parity = sign_host_ops.parity_field_host(mesh.verts, mesh.tris, grid)
-        packed = sign_host_ops.pack_parity(parity)
+        packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
         return Binned(grid, config, pad_band(bb), None,
                       mesh.tris.astype(np.int32), packed)
     elif config.sign_mode != "device":
@@ -170,10 +169,7 @@ def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None,
             cj.astype(jnp.float32) * dx + origin[1],
             ck.astype(jnp.float32) * dx + origin[2],
         )
-        tv = tri9[:, jnp.maximum(t, 0)]  # (9, CH)
-        a = (tv[0], tv[1], tv[2])
-        bb = (tv[3], tv[4], tv[5])
-        c = (tv[6], tv[7], tv[8])
+        a, bb, c = gather_tri9(tri9, t)  # 9 x (CH,) 1-D gathers
         d2 = point_triangle_distance_sq_soa(p, a, bb, c)
         d = jnp.sqrt(jnp.maximum(d2, jnp.float32(1e-30)))
         d = jnp.where(t >= 0, d, upper)
@@ -322,7 +318,7 @@ def sdf_from_tri_verts(
             grid_shape=grid_shape, chunk=band_chunk,
         )
         phi, tid = _merge_stage(phi_far, tid_far, phi0, tid0)
-        phi, tid = _refine_stage(phi, tid, tv_ng, origin, dx)
+        phi, tid = _refine_stage(phi, tid, tv_ng, origin, dx, max_passes=max_passes)
         return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
     elif far_field == "propagate":
         # legacy mode: directional plane scans to the 26-neighbor fixed point

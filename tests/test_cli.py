@@ -90,15 +90,76 @@ class TestCLIModes:
 
 
 class TestCLIErrors:
-    def test_missing_file(self, tmp_path):
-        r = run_cli(["nope.stl", "16"], tmp_path)
-        assert r.returncode != 0
+    """The 10 error cases of the reference's tests/test_cli_errors.cpp, plus
+    the rule that the CLI must NEVER die with a Python traceback."""
 
-    def test_bad_dimension(self, workdir):
+    def test_no_arguments(self, tmp_path):
+        r = run_cli([], tmp_path)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+
+    def test_too_few_arguments(self, workdir):
+        # OBJ alone (mode 1 needs dx + padding), test_cli_errors.cpp:51-77
+        r = run_cli(["box345.obj"], workdir)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+
+    def test_missing_file(self, tmp_path):
+        r = run_cli(["nope.stl", "16", "1"], tmp_path)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+
+    def test_invalid_file_extension(self, tmp_path):
+        bad = tmp_path / "test_invalid.txt"
+        bad.write_text("This is not a mesh file\n")
+        r = run_cli([bad.name, "32", "1"], tmp_path)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+
+    def test_negative_dimensions(self, workdir):
         r = run_cli(["box345.stl", "-5"], workdir)
         assert r.returncode != 0
         assert "positive" in (r.stdout + r.stderr)
 
+    def test_zero_dimensions(self, workdir):
+        r = run_cli(["box345.stl", "0", "1"], workdir)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+
+    def test_negative_padding_handled_gracefully(self, workdir):
+        # reference: "should fail or auto-correct to minimum; at minimum must
+        # not crash" (test_cli_errors.cpp:211-233). Mode 1 clamps padding<1 to
+        # 1 (app/main.cpp semantics) — so this must SUCCEED without crashing.
+        r = run_cli(["box345.obj", "0.5", "-2"], workdir)
+        assert "Traceback" not in r.stderr
+        assert r.returncode == 0
+
+    def test_invalid_argument_type(self, workdir):
+        # string where a number is expected: atoi-degrades to 0 -> rejected
+        r = run_cli(["box345.stl", "not_a_number", "1"], workdir)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+
+    def test_malformed_stl(self, tmp_path):
+        bad = tmp_path / "malformed.stl"
+        bad.write_bytes(b"INVALID STL DATA")
+        r = run_cli([bad.name, "32", "1"], tmp_path)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+
+    def test_malformed_obj(self, tmp_path):
+        bad = tmp_path / "malformed.obj"
+        bad.write_text("# This OBJ has no geometry\n# No vertices, no faces\n")
+        r = run_cli([bad.name, "0.1", "2"], tmp_path)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr
+
     def test_mode1_requires_obj(self, workdir):
         r = run_cli(["box345.txt", "0.5", "2"], workdir)
         assert r.returncode != 0
+
+    def test_mode1_nonnumeric_dx(self, workdir):
+        # atof degrades "abc" to 0.0 -> rejected as non-positive dx
+        r = run_cli(["box345.obj", "abc", "1"], workdir)
+        assert r.returncode != 0
+        assert "Traceback" not in r.stderr

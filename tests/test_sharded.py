@@ -17,7 +17,9 @@ def _assert_equivalent(a, b):
     # distance-tied triangles may resolve differently across propagation
     # orders; recomputed distances then differ by at most ~1 ulp
     np.testing.assert_allclose(a, b, atol=5e-7, rtol=1e-6)
-    assert ((a < 0) == (b < 0)).mean() > 0.9999
+    # parity is host-computed and replicated, so the SIGN of every cell must
+    # match the single-device result exactly
+    np.testing.assert_array_equal(a < 0, b < 0)
 
 
 def _mesh_or_skip(shape=None):
