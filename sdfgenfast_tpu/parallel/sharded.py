@@ -39,10 +39,11 @@ from jax import shard_map
 from ..grid import GridSpec
 from ..mesh import Mesh as TriMesh
 from ..ops import band as band_ops
+from ..ops import dense as dense_ops
 from ..ops import jfa as jfa_ops
 from ..ops import sign_host as sign_host_ops
 from ..ops.geometry import gather_tri9, point_triangle_distance_sq_soa
-from ..pipeline import SDFConfig, _recompute_phi
+from ..pipeline import SDFConfig, _recompute_phi, use_dense
 
 __all__ = ["make_device_mesh", "ShardedBinned", "bin_mesh_sharded", "sharded_sdf"]
 
@@ -142,15 +143,23 @@ def bin_mesh_sharded(
     if nj_l % tj or nk_l % tk:
         raise ValueError("shard block must be a multiple of tile_shape")
     mesh.validate_indices()
-    bb = band_ops.bin_triangles(
-        mesh.verts, mesh.tris, grid, config.exact_band, config.tile_shape
-    )
-    nti = -(-ni // ti)
-    band_tiles_local = (nti, nj_l // tj, nk_l // tk)
-    b_ids, b_cand, b_valid = _partition_tiles(
-        bb.active_ids.astype(np.int64), bb.cand, bb.cand_valid,
-        bb.tiles_dim, band_tiles_local, dims,
-    )
+    if use_dense(config, len(mesh.tris)):
+        # dense path needs no band binning; keep shard-shaped empty arrays so
+        # the shard_map in_specs stay uniform
+        band_tiles_local = (1, 1, 1)
+        b_ids = np.zeros((Dj, Dk, 0), np.int32)
+        b_cand = np.zeros((Dj, Dk, 0, 1), np.int32)
+        b_valid = np.zeros((Dj, Dk, 0, 1), bool)
+    else:
+        bb = band_ops.bin_triangles(
+            mesh.verts, mesh.tris, grid, config.exact_band, config.tile_shape
+        )
+        nti = -(-ni // ti)
+        band_tiles_local = (nti, nj_l // tj, nk_l // tk)
+        b_ids, b_cand, b_valid = _partition_tiles(
+            bb.active_ids.astype(np.int64), bb.cand, bb.cand_valid,
+            bb.tiles_dim, band_tiles_local, dims,
+        )
 
     # host parity, globally (native C++ kernel), then packed per shard block
     packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
@@ -357,11 +366,45 @@ def _make_inner(block, band_tiles_local, tile_shape, max_passes, band_chunk,
     return inner
 
 
+def _make_inner_dense(block, skip_recompute, interpret):
+    """Dense all-triangles shard kernel: every shard evaluates every triangle
+    against its local cells — no band binning, no JFA, no halo exchange at
+    all (the per-cell result never depends on neighbor shards). Cell coords
+    use GLOBAL indices, so results are bit-identical to single-device runs."""
+    ni, nj_l, nk_l = block
+
+    def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed):
+        parity_packed = parity_packed[0, 0]
+        dj = jax.lax.axis_index("j")
+        dk = jax.lax.axis_index("k")
+        nj = nj_l * jax.lax.axis_size("j")
+        nk = nk_l * jax.lax.axis_size("k")
+        up = jnp.float32(ni + nj + nk) * dx
+        ijk_off = jnp.stack(
+            [jnp.int32(0), (dj * nj_l).astype(jnp.int32), (dk * nk_l).astype(jnp.int32)]
+        )
+
+        tv_ng = jax.lax.stop_gradient(tri_verts)
+        phi_d, tid = dense_ops.dense_distance_field(
+            tv_ng, origin, dx, grid_shape=(ni, nj_l, nk_l),
+            ijk_offset=ijk_off, interpret=interpret,
+        )
+        parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
+        if skip_recompute:
+            out = jnp.where(parity, -phi_d, phi_d)
+        else:
+            out = _recompute_phi(tri_verts, tid, parity, origin, dx, up,
+                                 ijk_offset=ijk_off)
+        return out[None, None]
+
+    return inner
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "mesh_obj", "block", "band_tiles_local", "tile_shape",
-        "max_passes", "band_chunk", "jfa_tile_shape",
+        "max_passes", "band_chunk", "jfa_tile_shape", "dense", "skip_recompute",
     ),
 )
 def _sharded_core(
@@ -369,11 +412,15 @@ def _sharded_core(
     band_ids, band_cand, band_valid, parity_packed,
     origin, dx,
     *, mesh_obj, block, band_tiles_local, tile_shape, max_passes, band_chunk,
-    jfa_tile_shape,
+    jfa_tile_shape, dense=False, skip_recompute=False,
 ):
     """Returns phi blocks (Dj, Dk, ni, nj_l, nk_l), grid-sharded over the mesh."""
-    inner = _make_inner(block, band_tiles_local, tile_shape, max_passes,
-                        band_chunk, jfa_tile_shape)
+    if dense:
+        interpret = jax.default_backend() != "tpu"
+        inner = _make_inner_dense(block, skip_recompute, interpret)
+    else:
+        inner = _make_inner(block, band_tiles_local, tile_shape, max_passes,
+                            band_chunk, jfa_tile_shape)
     blk2 = P("j", "k", None)
     blk3 = P("j", "k", None, None)
     blk4 = P("j", "k", None, None, None)
@@ -404,6 +451,10 @@ def sharded_sdf(
     cfg = binned.config
     if cfg.far_field != "exact":
         raise NotImplementedError("sharded pipeline currently supports far_field='exact'")
+    # concrete (non-traced) verts cannot be differentiated through anyway, so
+    # the dense path may apply the sign directly instead of re-evaluating
+    # distances through the differentiable recompute
+    skip_recompute = not isinstance(verts, jax.core.Tracer)
     v = jnp.asarray(verts if verts is not None else _require_verts(binned))
     tri_verts = v[jnp.asarray(binned.tris)]
     out = _sharded_core(
@@ -416,6 +467,8 @@ def sharded_sdf(
         band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
         max_passes=cfg.max_passes, band_chunk=cfg.band_chunk,
         jfa_tile_shape=cfg.jfa_tile_shape,
+        dense=use_dense(cfg, len(binned.tris)),
+        skip_recompute=skip_recompute,
     )
     if not assemble:
         return out

@@ -31,6 +31,7 @@ import numpy as np
 from .grid import GridSpec
 from .mesh import Mesh
 from .ops import band as band_ops
+from .ops import dense as dense_ops
 from .ops import jfa as jfa_ops
 from .ops import sign as sign_ops
 from .ops import sign_host as sign_host_ops
@@ -57,6 +58,10 @@ class SDFConfig:
     # far-field JFA granularity (decoupled from the band tiling): finer tiles
     # give more local candidates at the same total evaluation cost
     jfa_tile_shape: Tuple[int, int, int] = (4, 4, 4)
+    # meshes with at most this many triangles skip binning/band/JFA entirely:
+    # one fused Pallas kernel evaluates every cell against every triangle
+    # (exact everywhere, seconds to compile). 0 disables the dense path.
+    dense_max_tris: int = dense_ops.DENSE_MAX_TRIS
     eikonal_iters: Optional[int] = None  # default 2*max(n), like .cu:690
     band_chunk: int = 128
     sign_chunk: int = 64
@@ -73,7 +78,7 @@ class Binned:
 
     grid: GridSpec
     config: SDFConfig
-    band: band_ops.BandBinning
+    band: Optional[band_ops.BandBinning]  # None on the dense path
     sign: Optional[sign_ops.SignBinning]
     tris: np.ndarray  # (M, 3) int32
     parity_packed: Optional[np.ndarray] = None  # host-mode parity, packbits(i)
@@ -87,8 +92,18 @@ def _bucket(n: int, minimum: int = 64) -> int:
     return -(-n // p) * p
 
 
+def use_dense(config: SDFConfig, num_tris: int) -> bool:
+    """True when the fused all-triangles kernel replaces band+JFA."""
+    cap = min(config.dense_max_tris, dense_ops.DENSE_MAX_TRIS)
+    return config.far_field == "exact" and 0 < num_tris <= cap
+
+
 def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Binned:
     mesh.validate_indices()
+    if use_dense(config, len(mesh.tris)) and config.sign_mode == "host":
+        packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
+        return Binned(grid, config, None, None,
+                      mesh.tris.astype(np.int32), packed)
     bb = band_ops.bin_triangles(
         mesh.verts, mesh.tris, grid, config.exact_band, config.tile_shape
     )
@@ -224,6 +239,11 @@ def _unpack_parity_stage(parity_packed, ni):
     return sign_host_ops.unpack_parity_device(parity_packed, ni)
 
 
+@jax.jit
+def _sign_apply_stage(phi, parity):
+    return jnp.where(parity, -phi, phi)
+
+
 def sdf_from_tri_verts(
     tri_verts,  # (M, 3, 3) f32 — differentiable input
     f_hi,
@@ -250,6 +270,8 @@ def sdf_from_tri_verts(
     sign_chunk=64,
     jfa_tile_shape=(4, 4, 4),
     sign_mode="host",
+    dense_max_tris=dense_ops.DENSE_MAX_TRIS,
+    skip_recompute=False,
 ):
     """Full pipeline, orchestrated as SEPARATELY-JITTED stages.
 
@@ -261,6 +283,25 @@ def sdf_from_tri_verts(
     upper = jnp.float32(ni + nj + nk) * dx
 
     tv_ng = jax.lax.stop_gradient(tri_verts)
+
+    cfg_for_dense = SDFConfig(far_field=far_field, dense_max_tris=dense_max_tris)
+    if use_dense(cfg_for_dense, int(tri_verts.shape[0])):
+        phi_d, tid = dense_ops.dense_distance_field(
+            tv_ng, origin, dx, grid_shape=grid_shape
+        )
+        if sign_mode == "host":
+            parity = _unpack_parity_stage(parity_packed, ni)
+        else:
+            parity = sign_ops.parity_field(
+                f_hi, f_lo, sign_ids, sign_cand, sign_valid,
+                tile_shape=tile2d_shape, tiles_dim=tiles2d_dim,
+                grid_shape=grid_shape, chunk=sign_chunk,
+            )
+        if skip_recompute:
+            # non-differentiable callers: the dense kernel's distance IS the
+            # final magnitude — just apply the parity sign
+            return _sign_apply_stage(phi_d, parity), tid
+        return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
 
     phi0, tid0 = band_ops.band_distance_field(
         tv_ng,
@@ -393,13 +434,28 @@ def make_level_set3(
             tiles2d_dim=binned.sign.tiles_dim,
         )
 
+    if binned.band is not None:
+        band_args = dict(
+            band_ids=jnp.asarray(binned.band.active_ids),
+            band_cand=jnp.asarray(binned.band.cand),
+            band_valid=jnp.asarray(binned.band.cand_valid),
+            tile_shape=binned.band.tile_shape,
+            tiles_dim=binned.band.tiles_dim,
+        )
+    else:  # dense path: band binning skipped entirely
+        dummy = jnp.zeros((0,), jnp.int32)
+        band_args = dict(
+            band_ids=dummy, band_cand=dummy, band_valid=dummy,
+            tile_shape=config.tile_shape, tiles_dim=(1, 1, 1),
+        )
+
     phi, tid = sdf_from_tri_verts(
         tri_verts,
         sign_args["f_hi"],
         sign_args["f_lo"],
-        jnp.asarray(binned.band.active_ids),
-        jnp.asarray(binned.band.cand),
-        jnp.asarray(binned.band.cand_valid),
+        band_args["band_ids"],
+        band_args["band_cand"],
+        band_args["band_valid"],
         sign_args["sign_ids"],
         sign_args["sign_cand"],
         sign_args["sign_valid"],
@@ -407,8 +463,8 @@ def make_level_set3(
         jnp.asarray(grid.origin, jnp.float32),
         jnp.float32(grid.dx),
         grid_shape=grid.shape,
-        tile_shape=binned.band.tile_shape,
-        tiles_dim=binned.band.tiles_dim,
+        tile_shape=band_args["tile_shape"],
+        tiles_dim=band_args["tiles_dim"],
         tile2d_shape=sign_args["tile2d_shape"],
         tiles2d_dim=sign_args["tiles2d_dim"],
         far_field=config.far_field,
@@ -418,6 +474,8 @@ def make_level_set3(
         sign_chunk=config.sign_chunk,
         jfa_tile_shape=config.jfa_tile_shape,
         sign_mode=config.sign_mode,
+        dense_max_tris=config.dense_max_tris,
+        skip_recompute=verts is None,
     )
     if return_tid:
         return phi, tid

@@ -29,11 +29,14 @@ def _mesh_or_skip(shape=None):
 
 
 class TestShardedParity:
-    def test_sphere_matches_single_device_exactly(self):
+    # dense_max_tris=default exercises the per-shard dense Pallas kernel;
+    # =0 forces the band+JFA+refine tiled path — both must match single-device
+    @pytest.mark.parametrize("dense_cap", [1024, 0])
+    def test_sphere_matches_single_device_exactly(self, dense_cap):
         dmesh = _mesh_or_skip()
         m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
         g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
-        cfg = SDFConfig(tile2d_shape=(8, 8))
+        cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=dense_cap)
         sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
         phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
         phi_single = np.asarray(make_level_set3(m, g, cfg))
@@ -69,11 +72,13 @@ class TestShardedParity:
 
 
 class TestShardedGradients:
-    def test_gradient_matches_single_device(self):
+    @pytest.mark.parametrize("dense_cap", [1024, 0])
+    def test_gradient_matches_single_device(self, dense_cap):
         dmesh = _mesh_or_skip()
         m = icosphere(1, radius=0.9, center=(0.02, 0.01, -0.03))
         g = GridSpec((-1.3, -1.3, -1.3), 0.1625, (16, 16, 16))
-        cfg = SDFConfig(tile_shape=(8, 8, 4), tile2d_shape=(8, 4))
+        cfg = SDFConfig(tile_shape=(8, 8, 4), tile2d_shape=(8, 4),
+                        dense_max_tris=dense_cap)
         sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
         binned = bin_mesh(m, g, cfg)
         rng = np.random.default_rng(1)
