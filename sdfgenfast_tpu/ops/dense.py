@@ -9,17 +9,21 @@ everywhere (strictly stronger than the reference's propagated far field,
 minutes because the program is one small kernel instead of an unrolled
 26-offset x strides JFA cascade.
 
-Kernel shape: the grid is flattened to (rows, 128) cell blocks; each program
-owns ``SUBLANES`` rows (SUBLANES*128 cells) held in registers/VMEM, and runs
-a fori_loop over triangles. Per iteration it broadcasts one triangle's 9
+Kernel shape: the grid is laid out as (ni*nj, nk) — row r is the (i, j) =
+(r // nj, r % nj) cell column, lanes are k. Each program owns ``_SUBLANES``
+rows and runs a fori_loop over triangles, broadcasting one triangle's 9
 coordinates from SMEM (scalar memory — free broadcasts, no gathers, no lane
 padding) against the whole cell block on the VPU. min+argmin stay in
 registers; ties keep the lowest triangle id (strict ``<``), matching the
 reference's first-wins tie-break (``cpu_lib/makelevelset3.cpp:215-218``).
+The final (ni*nj, nk) -> (ni, nj, nk) reshape splits the leading axis only,
+so XLA emits no data movement for it.
 
 The per-(cell, triangle) math is the shared ``point_triangle_distance_sq_soa``
 — identical operation order to the band/JFA path and the reference's
-``point_triangle_distance`` (``cpu_lib/makelevelset3.cpp:49-70``).
+``point_triangle_distance`` (``cpu_lib/makelevelset3.cpp:49-70``). All
+per-triangle subexpressions (edge vectors, Gram terms) are scalar ops on the
+SMEM values; only the point-dependent terms run as vector ops.
 """
 
 from __future__ import annotations
@@ -40,22 +44,17 @@ __all__ = ["dense_distance_field", "DENSE_MAX_TRIS"]
 # anyway (dense cost scales as cells x tris).
 DENSE_MAX_TRIS = 1024
 
-_SUBLANES = 32  # cells per program = _SUBLANES * 128 = 4096
-_LANES = 128
+_SUBLANES = 32  # grid rows (i*nj + j cell columns) per program
 
 
-def _dense_kernel(params_ref, off_ref, tri9_ref, d2_ref, tid_ref, *, grid_shape, m):
-    ni, nj, nk = grid_shape
-    base = pl.program_id(0) * (_SUBLANES * _LANES)
-    row = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (_SUBLANES, _LANES), 1)
-    idx = base + row * _LANES + col
-    # padded tail cells compute junk at clamped coords; sliced off by caller
-    idx = jnp.minimum(idx, ni * nj * nk - 1)
-    ci = idx // (nj * nk) + off_ref[0, 0]
-    rem = idx % (nj * nk)
-    cj = rem // nk + off_ref[0, 1]
-    ck = rem % nk + off_ref[0, 2]
+def _dense_kernel(params_ref, off_ref, tri9_ref, d_ref, tid_ref, *, nj, m):
+    base = pl.program_id(0) * _SUBLANES
+    sub = jax.lax.broadcasted_iota(jnp.int32, d_ref.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d_ref.shape, 1)
+    r = base + sub
+    ci = r // nj + off_ref[0, 0]
+    cj = r - (r // nj) * nj + off_ref[0, 1]
+    ck = lane + off_ref[0, 2]
 
     ox = params_ref[0, 0]
     oy = params_ref[0, 1]
@@ -68,8 +67,8 @@ def _dense_kernel(params_ref, off_ref, tri9_ref, d2_ref, tid_ref, *, grid_shape,
     )
 
     init = (
-        jnp.full((_SUBLANES, _LANES), jnp.inf, jnp.float32),
-        jnp.full((_SUBLANES, _LANES), -1, jnp.int32),
+        jnp.full(d_ref.shape, jnp.inf, jnp.float32),
+        jnp.full(d_ref.shape, -1, jnp.int32),
     )
 
     def body(t, carry):
@@ -82,7 +81,7 @@ def _dense_kernel(params_ref, off_ref, tri9_ref, d2_ref, tid_ref, *, grid_shape,
         return jnp.where(better, d2, best_d2), jnp.where(better, t, best_t)
 
     best_d2, best_t = jax.lax.fori_loop(0, m, body, init)
-    d2_ref[:] = best_d2
+    d_ref[:] = jnp.sqrt(best_d2)
     tid_ref[:] = best_t
 
 
@@ -120,12 +119,12 @@ def _dense_impl(tri_verts, origin, dx, ijk_offset, *, grid_shape, interpret):
     ).reshape(1, 4)
     offs = ijk_offset.astype(jnp.int32).reshape(1, 3)
 
-    n = ni * nj * nk
-    block = _SUBLANES * _LANES
-    nb = -(-n // block)
+    rows = ni * nj
+    nb = -(-rows // _SUBLANES)
+    rows_pad = nb * _SUBLANES
 
-    d2, tid = pl.pallas_call(
-        partial(_dense_kernel, grid_shape=grid_shape, m=m),
+    d, tid = pl.pallas_call(
+        partial(_dense_kernel, nj=nj, m=m),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -133,15 +132,15 @@ def _dense_impl(tri_verts, origin, dx, ijk_offset, *, grid_shape, interpret):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_SUBLANES, _LANES), lambda b: (b, 0)),
-            pl.BlockSpec((_SUBLANES, _LANES), lambda b: (b, 0)),
+            pl.BlockSpec((_SUBLANES, nk), lambda b: (b, 0)),
+            pl.BlockSpec((_SUBLANES, nk), lambda b: (b, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nb * _SUBLANES, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((nb * _SUBLANES, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rows_pad, nk), jnp.float32),
+            jax.ShapeDtypeStruct((rows_pad, nk), jnp.int32),
         ),
         interpret=interpret,
     )(params, offs, tri9)
 
-    phi = jnp.sqrt(d2.reshape(-1)[:n]).reshape(grid_shape)
-    return phi, tid.reshape(-1)[:n].reshape(grid_shape)
+    phi = d[:rows].reshape(grid_shape)
+    return phi, tid[:rows].reshape(grid_shape)

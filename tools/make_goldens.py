@@ -35,12 +35,16 @@ def main():
 
     box = box_mesh((3, 4, 5), (-1, -1, -1))
     sphere = icosphere(3, radius=1.0, center=(0.05, -0.02, 0.03))
+    # ~82k-triangle mesh (BASELINE.md large-mesh requirement). STL stores 3
+    # verts/triangle (~4 MB); regenerated on demand, not committed.
+    sphere6 = icosphere(6, radius=1.0, center=(0.04, -0.03, 0.02))
 
     mesh_io.save_stl(os.path.join(RESOURCES, "box345.stl"), box)
     mesh_io.save_stl(os.path.join(RESOURCES, "box345_ascii.stl"), box, ascii_format=True)
     mesh_io.save_obj(os.path.join(RESOURCES, "box345.obj"), box)
     mesh_io.save_obj(os.path.join(RESOURCES, "icosphere.obj"), sphere)
     mesh_io.save_stl(os.path.join(RESOURCES, "icosphere.stl"), sphere)
+    mesh_io.save_stl(os.path.join(RESOURCES, "icosphere6.stl"), sphere6)
 
     # (name, mesh file, CLI args after file, produced .sdf name)
     configs = [
@@ -54,6 +58,9 @@ def main():
         ("sphere_stl_64_mode2a", "icosphere.stl", ["64", "1", "1"], None),
         # curved mesh, mode 1
         ("sphere_obj_mode1", "icosphere.obj", ["0.05", "2", "1"], "icosphere.sdf"),
+        # 81,920-triangle mesh at a 128-class grid: the BASELINE.md large-mesh
+        # requirement (binning K growth + memory at ~100k tris)
+        ("sphere6_stl_128_mode2a", "icosphere6.stl", ["128", "1", "1"], None),
     ]
 
     manifest = {}
