@@ -18,8 +18,12 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
-_SPLIT = jnp.float32(4097.0)  # 2^12 + 1 Veltkamp split constant for float32
+# 2^12 + 1 Veltkamp split constant for float32. NumPy (not jnp) so importing
+# this module never initializes a JAX backend — jax.distributed.initialize
+# must stay callable after `import sdfgenfast_tpu` (parallel/multihost.py).
+_SPLIT = np.float32(4097.0)
 
 
 class DF(NamedTuple):

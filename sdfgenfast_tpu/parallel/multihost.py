@@ -1,0 +1,142 @@
+"""Multi-host (multi-process) execution: the DCN scale-out layer.
+
+The reference is strictly single-process (SURVEY §5: no MPI/NCCL/Gloo —
+`cudaMemcpy` is its only device communication). This module is the TPU
+build's own north star: the SAME `shard_map` pipeline from
+``parallel/sharded.py`` runs unchanged over a device mesh that spans
+multiple hosts — XLA routes the halo ``ppermute``/``psum`` collectives over
+ICI within a slice and DCN across hosts.
+
+Design:
+- ``initialize`` wraps ``jax.distributed.initialize`` (idempotent guard).
+- Binning stays REPLICATED: every process runs the same host-side NumPy
+  binning on the same mesh (deterministic), so no host-side communication is
+  needed; each process then materializes the global, mesh-sharded device
+  arrays from its local copy via ``make_global_array``.
+- ``sharded_sdf_multihost`` drives the identical ``_sharded_core`` program;
+  the returned phi is a global array — use ``fetch_global`` (an allgather)
+  to get the assembled NumPy grid on every process.
+
+Tested by ``tests/test_multihost.py``, which spawns 2 real processes with 4
+virtual CPU devices each (8 global devices) and asserts exact equality with
+the single-process 8-device result.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .sharded import ShardedBinned, _sharded_core, bin_mesh_sharded, sharded_sdf
+
+__all__ = [
+    "initialize",
+    "global_device_mesh",
+    "make_global_array",
+    "fetch_global",
+    "sharded_sdf_multihost",
+]
+
+_initialized = False
+
+
+def initialize(coordinator_address: str, num_processes: int, process_id: int,
+               local_device_ids=None) -> None:
+    """Join the multi-process JAX runtime (DCN coordination layer).
+
+    On TPU pods, ``jax.distributed.initialize()`` with no args picks up the
+    pod metadata; this explicit form also serves CPU/GPU clusters and the
+    2-process CPU simulation the tests use."""
+    global _initialized
+    if _initialized:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _initialized = True
+
+
+def global_device_mesh(shape: Optional[Tuple[int, int]] = None) -> Mesh:
+    """A (j, k) mesh over ALL processes' devices (jax.devices() is global)."""
+    devices = jax.devices()
+    n = len(devices)
+    if shape is None:
+        dj = int(np.sqrt(n))
+        while n % dj:
+            dj -= 1
+        shape = (dj, n // dj)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names=("j", "k"))
+
+
+def make_global_array(host_array: np.ndarray, mesh: Mesh, spec: P):
+    """Build a global jax.Array from an identical replicated host copy.
+
+    Every process holds the full `host_array` (replicated binning); each
+    device extracts its own shard locally — no cross-host transfer."""
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        host_array.shape, sharding, lambda idx: host_array[idx]
+    )
+
+
+def fetch_global(global_array) -> np.ndarray:
+    """Assemble a (possibly cross-host) global array on every process."""
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return np.asarray(global_array)
+    return np.asarray(multihost_utils.process_allgather(global_array, tiled=True))
+
+
+def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
+    """Run the sharded pipeline over a (possibly multi-host) mesh.
+
+    Identical compute to ``sharded_sdf``; inputs are materialized as global
+    mesh-sharded arrays first (required in multi-controller mode, where a
+    plain numpy argument to a sharded jit is rejected). Returns the raw
+    (Dj, Dk, ni, nj_l, nk_l) block array, still device-sharded; pass through
+    ``fetch_global`` + ``assemble_blocks`` for the dense grid."""
+    from ..pipeline import use_dense
+
+    cfg = binned.config
+    if cfg.far_field != "exact":
+        raise NotImplementedError("sharded pipeline supports far_field='exact'")
+    v = jnp.asarray(verts)
+    tri_verts = v[jnp.asarray(binned.tris)]
+
+    blk2 = P("j", "k", None)
+    blk3 = P("j", "k", None, None)
+    blk4 = P("j", "k", None, None, None)
+    rep = P()
+    b_ids = make_global_array(binned.band_ids, mesh, blk2)
+    b_cand = make_global_array(binned.band_cand, mesh, blk3)
+    b_valid = make_global_array(binned.band_valid, mesh, blk3)
+    packed = make_global_array(binned.parity_packed, mesh, blk4)
+    tv = make_global_array(np.asarray(tri_verts), mesh, rep)
+    origin = make_global_array(
+        np.asarray(binned.grid.origin, np.float32), mesh, rep
+    )
+
+    return _sharded_core(
+        tv, b_ids, b_cand, b_valid, packed,
+        origin, jnp.float32(binned.grid.dx),
+        mesh_obj=mesh, block=binned.block,
+        band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
+        max_passes=cfg.max_passes, band_chunk=cfg.band_chunk,
+        jfa_tile_shape=cfg.jfa_tile_shape,
+        dense=use_dense(cfg, len(binned.tris)),
+        skip_recompute=True,
+    )
+
+
+def assemble_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(Dj, Dk, ni, nj_l, nk_l) -> (ni, nj, nk)."""
+    Dj, Dk, ni, nj_l, nk_l = blocks.shape
+    return np.transpose(blocks, (2, 0, 3, 1, 4)).reshape(ni, Dj * nj_l, Dk * nk_l)

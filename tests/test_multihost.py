@@ -1,0 +1,114 @@
+"""Multi-host (2-process) execution of the sharded pipeline on CPU.
+
+Spawns two REAL Python processes, each owning 4 virtual CPU devices, joined
+via jax.distributed (the DCN coordination layer); the 8-device global mesh
+runs the identical shard_map pipeline, and the assembled result must equal
+the single-process 8-device run exactly. This is the SURVEY §7 step-5
+multi-host requirement: same code path, collectives spanning processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+
+import numpy as np
+from sdfgenfast_tpu import GridSpec, SDFConfig
+from sdfgenfast_tpu.mesh import icosphere
+from sdfgenfast_tpu.parallel import bin_mesh_sharded
+from sdfgenfast_tpu.parallel.multihost import (
+    assemble_blocks, fetch_global, global_device_mesh, initialize,
+    sharded_sdf_multihost,
+)
+
+pid = int(sys.argv[1])
+initialize({coord!r}, 2, pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+
+mesh = global_device_mesh(shape=(2, 4))
+m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
+g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
+cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris={dense_cap})
+sb = bin_mesh_sharded(m, g, (2, 4), cfg)
+blocks = sharded_sdf_multihost(sb, mesh, m.verts)
+phi = assemble_blocks(fetch_global(blocks))
+if pid == 0:
+    np.save({out!r}, phi)
+print("WORKER_OK", pid, flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.parametrize("dense_cap", [1024, 0])
+def test_two_process_matches_single_process(tmp_path, dense_cap):
+    out = str(tmp_path / "phi_mh.npy")
+    coord = f"127.0.0.1:{_free_port()}"
+    script = _WORKER.format(repo=REPO, coord=coord, out=out, dense_cap=dense_cap)
+    # strip the ambient TPU-plugin sitecustomize (PYTHONPATH) and platform
+    # pin: jax.distributed.initialize must run before ANY backend touch, and
+    # the sitecustomize initializes the axon backend at interpreter start
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "PYTHONPATH")
+    }
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o)
+    for i, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and "WORKER_OK" in o, f"worker {i}:\n{o[-3000:]}"
+
+    phi_mh = np.load(out)
+
+    # single-process 8-device reference on THIS process's virtual mesh
+    from sdfgenfast_tpu import GridSpec, SDFConfig
+    from sdfgenfast_tpu.mesh import icosphere
+    from sdfgenfast_tpu.parallel import bin_mesh_sharded, make_device_mesh, sharded_sdf
+
+    m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
+    g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
+    cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=dense_cap)
+    dmesh = make_device_mesh(shape=(2, 4))
+    sb = bin_mesh_sharded(m, g, (2, 4), cfg)
+    phi_single = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+
+    np.testing.assert_array_equal(phi_mh, phi_single)

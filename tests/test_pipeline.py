@@ -99,6 +99,50 @@ class TestSpherePipeline:
         assert ((phi_e < 0) == parity)[off].all()
 
 
+class TestAlternatePaths:
+    """E2E coverage for every public SDFConfig mode combination: the device
+    sign path (double-float SOS predicates, ops/sign.py) and the legacy
+    directional-scan far field (ops/sweep.py) must agree with the oracle,
+    not just have unit-tested micro-ops."""
+
+    def test_device_sign_mode(self):
+        m = box_mesh((3, 4, 5), (-1, -1, -1))
+        g = GridSpec((-1.5, -1.5, -1.5), 0.5, (14, 16, 18))
+        cfg = SDFConfig(sign_mode="device", tile2d_shape=(8, 8))
+        _check_against_oracle(m, g, cfg)
+
+    def test_device_sign_mode_sphere(self):
+        m = icosphere(1, radius=1.0, center=(0.07, -0.04, 0.02))
+        g = GridSpec((-1.4, -1.4, -1.4), 0.2, (14, 14, 14))
+        cfg = SDFConfig(sign_mode="device", tile2d_shape=(8, 8))
+        _check_against_oracle(m, g, cfg)
+
+    def test_device_sign_matches_host_sign(self):
+        m = box_mesh((3, 4, 5), (-1, -1, -1))
+        # vertices exactly on grid planes: the SOS tie-break gauntlet —
+        # device double-float predicates must reproduce the host f64 signs
+        g = GridSpec((-1.5, -1.5, -1.5), 0.25, (26, 28, 30))
+        a = np.asarray(make_level_set3(m, g, SDFConfig(sign_mode="host")))
+        b = np.asarray(
+            make_level_set3(m, g, SDFConfig(sign_mode="device", tile2d_shape=(8, 8)))
+        )
+        # cells ON the surface (|phi| ~ f32 eps of 0) have ambiguous sign —
+        # both predicates count the same crossings but at x-coordinates that
+        # round to the cell plane itself; everywhere else: exact agreement
+        off_surface = np.minimum(np.abs(a), np.abs(b)) > SURF_EPS
+        assert ((a < 0) == (b < 0))[off_surface].all()
+
+    def test_propagate_far_field(self):
+        m = box_mesh((3, 4, 5), (-1, -1, -1))
+        g = GridSpec((-1.5, -1.5, -1.5), 0.5, (14, 16, 18))
+        _check_against_oracle(m, g, SDFConfig(far_field="propagate"))
+
+    def test_propagate_far_field_sphere(self):
+        m = icosphere(2, radius=1.0, center=(0.05, -0.03, 0.06))
+        g = GridSpec((-1.5, -1.5, -1.5), 0.15, (20, 20, 20))
+        _check_against_oracle(m, g, SDFConfig(far_field="propagate"))
+
+
 class TestBinningInvariance:
     def test_tile_shape_invariance(self):
         m = icosphere(1, radius=1.0)

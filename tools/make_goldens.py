@@ -18,6 +18,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# host-only tool: never touch the (single-grant) TPU backend
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 from sdfgenfast_tpu.io import mesh_io  # noqa: E402
 from sdfgenfast_tpu.mesh import box_mesh, icosphere  # noqa: E402
 
