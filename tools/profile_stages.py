@@ -64,16 +64,52 @@ def timed(name, fn, *args, repeats=3, **kw):
     return out
 
 
-def profile(nx, mesh_name="box"):
+def profile_dense(mesh, grid, cfg):
+    """Stage breakdown of the dense Pallas path (meshes <= dense_max_tris)."""
+    from sdfgenfast_tpu.ops import sign_host as sign_host_ops
+    from sdfgenfast_tpu.ops.dense import dense_distance_field
+    from sdfgenfast_tpu.pipeline import _sign_apply_stage
+
+    t0 = time.perf_counter()
+    binned = bin_mesh(mesh, grid, cfg)
+    print(f"  {'bin_mesh (host parity)':28s} {(time.perf_counter()-t0)*1e3:9.2f} ms")
+
+    tri_verts = jnp.asarray(mesh.verts)[jnp.asarray(binned.tris)]
+    origin = jnp.asarray(grid.origin, jnp.float32)
+    dx = jnp.float32(grid.dx)
+
+    parity = timed("unpack_parity", _unpack_parity_stage,
+                   jnp.asarray(binned.parity_packed), grid.shape[0])
+    phi, tid = timed("dense kernel", dense_distance_field,
+                     tri_verts, origin, dx, grid_shape=grid.shape)
+    timed("sign apply", _sign_apply_stage, phi, parity)
+
+    trace_dir = os.environ.get("PROFILE_TRACE", "")
+    t0 = time.perf_counter()
+    full = make_level_set3(mesh, grid, cfg, binned=binned)
+    full.block_until_ready()
+    print(f"  {'END-TO-END (warm)':28s} {(time.perf_counter()-t0)*1e3:9.2f} ms")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            full = make_level_set3(mesh, grid, cfg, binned=binned)
+            full.block_until_ready()
+        print(f"  trace written to {trace_dir}")
+
+
+def profile(nx, mesh_name="box", force_tiled=False):
     if mesh_name == "box":
         mesh = box_mesh((3, 4, 5), (-1, -1, -1))
     else:
         mesh = icosphere(6, radius=1.0)
     mn, mx = mesh.bounds()
     grid = sizing_mode2a_proportional(mn, mx, nx, 1)
-    cfg = SDFConfig()
+    cfg = SDFConfig(dense_max_tris=0) if force_tiled else SDFConfig()
     print(f"== Nx={nx} ({mesh_name}, {mesh.num_tris} tris): grid={grid.shape}, "
           f"cells={grid.num_cells/1e6:.2f}M ==")
+
+    from sdfgenfast_tpu.pipeline import use_dense
+    if use_dense(cfg, mesh.num_tris):
+        return profile_dense(mesh, grid, cfg)
 
     t0 = time.perf_counter()
     binned = bin_mesh(mesh, grid, cfg)
@@ -149,4 +185,4 @@ if __name__ == "__main__":
     mesh_name = "sphere" if "sphere" in sys.argv else "box"
     force_honest_timing()
     for nx in sizes:
-        profile(nx, mesh_name)
+        profile(nx, mesh_name, force_tiled="tiled" in sys.argv)
