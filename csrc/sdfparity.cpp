@@ -119,6 +119,118 @@ void prefix_pack_range(const ParityArgs& A, uint8_t* packed, int64_t nb,
 
 }  // namespace
 
+namespace {
+
+// Extract per-column crossing positions from the events grid: for column
+// (j, k), the i indices whose crossing-event parity is odd, ascending. The
+// device reconstructs the parity field as XOR_c (i >= cross_c) — the
+// prefix-XOR of sdfgenio_parity_packed expressed as a handful of compares,
+// so only (cap, nj, nk) int16 (sentinel-padded) ever crosses the host->
+// device link instead of a bit-packed (ni/8, nj, nk) field.
+void crossings_range(const ParityArgs& A, int16_t* out, int32_t cap,
+                     int32_t* counts, int64_t j0, int64_t j1) {
+  const int64_t nj = A.nj, nk = A.nk, ni = A.ni;
+  const int64_t span = (j1 - j0) * nk;
+  int32_t* cnt = counts + j0 * nk;
+  for (int64_t i = 0; i < ni; ++i) {
+    const uint8_t* src = A.events + (i * nj + j0) * nk;
+    for (int64_t x = 0; x < span; ++x) {
+      if (src[x]) {
+        int32_t c = cnt[x]++;
+        if (c < cap) {
+          int64_t col = j0 * nk + x;  // j * nk + k
+          out[static_cast<int64_t>(c) * nj * nk + col] =
+              static_cast<int16_t>(i);
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+// Per-column x-ray crossing positions, (cap, nj, nk) int16 C-order, padded
+// with sentinel 32767. *max_crossings returns the true per-column maximum;
+// when it exceeds `cap` the output is truncated and the caller must retry
+// with a larger cap. Same exact-f64 SOS semantics as sdfgenio_parity_packed.
+extern "C" int sdfgenio_crossings(
+    const float* verts, int64_t nv, const uint32_t* tris, int64_t nt,
+    const double* origin, double dx,
+    int32_t ni, int32_t nj, int32_t nk,
+    int16_t* crossings_out,  // cap * nj * nk int16, caller-allocated
+    int32_t cap, int32_t* max_crossings,
+    int num_threads, char* err, int errlen) {
+  (void)nv;
+  (void)err;
+  (void)errlen;
+  if (ni <= 0 || nj <= 0 || nk <= 0 || ni > 32766 || cap <= 0) return 1;
+  const int64_t cells = static_cast<int64_t>(ni) * nj * nk;
+  const int64_t cols = static_cast<int64_t>(nj) * nk;
+  std::vector<uint8_t> events(static_cast<size_t>(cells), 0);
+  std::vector<int32_t> counts(static_cast<size_t>(cols), 0);
+  for (int64_t x = 0; x < static_cast<int64_t>(cap) * cols; ++x)
+    crossings_out[x] = 32767;
+
+  ParityArgs A;
+  A.verts = verts;
+  A.tris = tris;
+  A.nt = nt;
+  A.ox = origin[0];
+  A.oy = origin[1];
+  A.oz = origin[2];
+  A.dx = dx;
+  A.ni = ni;
+  A.nj = nj;
+  A.nk = nk;
+  A.events = events.data();
+
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw <= 0) hw = 4;
+  int nth = num_threads > 0 ? num_threads : hw;
+
+  {
+    int use = static_cast<int>(
+        std::min<int64_t>(nth, std::max<int64_t>(1, nt / 16)));
+    if (use <= 1) {
+      triangle_range(A, 0, nt);
+    } else {
+      std::vector<std::thread> pool;
+      int64_t chunk = (nt + use - 1) / use;
+      for (int w = 0; w < use; ++w) {
+        int64_t t0 = w * chunk;
+        int64_t t1 = std::min<int64_t>(nt, t0 + chunk);
+        if (t0 >= t1) break;
+        pool.emplace_back(triangle_range, std::cref(A), t0, t1);
+      }
+      for (auto& th : pool) th.join();
+    }
+  }
+
+  {
+    int use = static_cast<int>(
+        std::min<int64_t>(nth, std::max<int64_t>(1, nj / 8)));
+    if (use <= 1) {
+      crossings_range(A, crossings_out, cap, counts.data(), 0, nj);
+    } else {
+      std::vector<std::thread> pool;
+      int64_t chunk = (nj + use - 1) / use;
+      for (int w = 0; w < use; ++w) {
+        int64_t j0 = w * chunk;
+        int64_t j1 = std::min<int64_t>(nj, j0 + chunk);
+        if (j0 >= j1) break;
+        pool.emplace_back(crossings_range, std::cref(A), crossings_out, cap,
+                          counts.data(), j0, j1);
+      }
+      for (auto& th : pool) th.join();
+    }
+  }
+
+  int32_t mx = 0;
+  for (int64_t x = 0; x < cols; ++x) mx = std::max(mx, counts[x]);
+  *max_crossings = mx;
+  return 0;
+}
+
 extern "C" int sdfgenio_parity_packed(
     const float* verts, int64_t nv, const uint32_t* tris, int64_t nt,
     const double* origin,  // full f64 origin (GridSpec keeps f64 tuples)

@@ -88,6 +88,16 @@ def _load() -> Optional[ctypes.CDLL]:
                 c.POINTER(c.c_uint8), c.c_int,
                 c.c_char_p, c.c_int,
             ]
+        if hasattr(lib, "sdfgenio_crossings"):
+            lib.sdfgenio_crossings.restype = c.c_int
+            lib.sdfgenio_crossings.argtypes = [
+                c.POINTER(c.c_float), c.c_int64,
+                c.POINTER(c.c_uint32), c.c_int64,
+                c.POINTER(c.c_double), c.c_double,
+                c.c_int32, c.c_int32, c.c_int32,
+                c.POINTER(c.c_int16), c.c_int32, c.POINTER(c.c_int32),
+                c.c_int, c.c_char_p, c.c_int,
+            ]
         _lib = lib
         return _lib
 
@@ -179,6 +189,39 @@ def parity_packed(verts: np.ndarray, tris: np.ndarray, origin, dx: float,
     if rc != 0:
         raise NativeIOError(err.value.decode() or f"parity_packed failed ({rc})")
     return packed
+
+
+def crossings(verts: np.ndarray, tris: np.ndarray, origin, dx: float,
+              shape, cap: int = 8, num_threads: int = 0) -> Optional[np.ndarray]:
+    """Native exact-f64 x-ray crossing positions: ((cap, nj, nk) int16 with
+    sentinel 32767 padding, true max count); grows cap as needed. Returns
+    None when the native library (or the symbol) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sdfgenio_crossings"):
+        return None
+    c = ctypes
+    ni, nj, nk = (int(v) for v in shape)
+    verts32 = np.ascontiguousarray(verts, dtype=np.float32)
+    tris32 = np.ascontiguousarray(tris, dtype=np.uint32)
+    origin64 = np.ascontiguousarray(np.asarray(origin, np.float64))
+    err = c.create_string_buffer(256)
+    while True:
+        out = np.empty((cap, nj, nk), dtype=np.int16)
+        maxc = c.c_int32(0)
+        rc = lib.sdfgenio_crossings(
+            verts32.ctypes.data_as(c.POINTER(c.c_float)), len(verts32),
+            tris32.ctypes.data_as(c.POINTER(c.c_uint32)), len(tris32),
+            origin64.ctypes.data_as(c.POINTER(c.c_double)),
+            c.c_double(float(np.float64(np.float32(dx)))),
+            ni, nj, nk,
+            out.ctypes.data_as(c.POINTER(c.c_int16)), cap, c.byref(maxc),
+            num_threads, err, 256,
+        )
+        if rc != 0:
+            raise NativeIOError(err.value.decode() or f"crossings failed ({rc})")
+        if maxc.value <= cap:
+            return out, int(maxc.value)
+        cap = -(-int(maxc.value) // 4) * 4
 
 
 def read_sdf(path: str):

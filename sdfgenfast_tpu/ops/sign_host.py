@@ -28,7 +28,68 @@ __all__ = [
     "parity_packed_host",
     "pack_parity",
     "unpack_parity_device",
+    "CROSS_SENTINEL",
+    "crossings_host",
+    "parity_from_crossings_device",
 ]
+
+# int16 sentinel for "no crossing": greater than any valid i index, so the
+# device-side (i >= cross) compare contributes nothing to the parity XOR
+CROSS_SENTINEL = np.int16(32767)
+
+
+def crossings_host(verts: np.ndarray, tris: np.ndarray, grid: GridSpec,
+                   num_threads: int = 0) -> np.ndarray:
+    """(C, nj, nk) int16 per-column x-ray crossing positions (sentinel-padded,
+    C bucketed to a multiple of 2 to bound jit recompiles).
+
+    A crossing at position c means the parity field toggles at i = c:
+    parity(i, j, k) = XOR_c [i >= crossings(c, j, k)] — the exact prefix-XOR
+    of the reference's intersection counting (cpu_lib/makelevelset3.cpp:
+    295-303), but shipped to the device as a few compares worth of data
+    (~C/ni * 1/8 the bytes of the bit-packed parity field)."""
+    from ..io import native
+
+    ni, nj, nk = grid.shape
+    out = None
+    try:
+        res = native.crossings(
+            verts, tris, grid.origin, float(np.float32(grid.dx)), grid.shape,
+            num_threads=num_threads,
+        )
+        if res is not None:
+            out, maxc = res
+    except native.NativeIOError:
+        out = None
+    if out is None:
+        parity = parity_field_host(verts, tris, grid)
+        ev = parity.copy()
+        ev[1:] ^= parity[:-1]
+        ii, jj, kk = np.nonzero(ev)  # C-order: i ascending within a column
+        col = jj.astype(np.int64) * nk + kk
+        order = np.argsort(col, kind="stable")
+        col = col[order]
+        ii = ii[order]
+        uniq, starts, per = np.unique(col, return_index=True, return_counts=True)
+        maxc = int(per.max()) if len(per) else 0
+        out = np.full((max(maxc, 1), nj, nk), CROSS_SENTINEL, np.int16)
+        rank = np.arange(len(col)) - np.repeat(starts, per)
+        out[rank, col // nk, col % nk] = ii.astype(np.int16)
+    C = max(2, -(-max(int(maxc), 1) // 2) * 2)
+    if out.shape[0] < C:
+        pad = np.full((C - out.shape[0], nj, nk), CROSS_SENTINEL, np.int16)
+        out = np.concatenate([out, pad], axis=0)
+    return out[:C]
+
+
+def parity_from_crossings_device(crossings, ni: int):
+    """Device-side parity reconstruction: (C, nj, nk) int16 -> (ni, nj, nk)
+    bool via XOR of per-crossing compares."""
+    import jax.numpy as jnp
+
+    i = jnp.arange(ni, dtype=jnp.int32).reshape(ni, 1, 1)
+    hits = i >= crossings.astype(jnp.int32)[:, None, :, :]  # (C, ni, nj, nk)
+    return jnp.sum(hits, axis=0, dtype=jnp.int32) % 2 == 1
 
 
 def parity_packed_host(verts: np.ndarray, tris: np.ndarray, grid: GridSpec,

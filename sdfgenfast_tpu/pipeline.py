@@ -244,6 +244,13 @@ def _sign_apply_stage(phi, parity):
     return jnp.where(parity, -phi, phi)
 
 
+@partial(jax.jit, static_argnames=("ni",))
+def _sign_apply_packed_stage(phi, parity_packed, ni):
+    """Fused unpack+apply: one kernel, one read of phi, no bool field in HBM."""
+    parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
+    return jnp.where(parity, -phi, phi)
+
+
 def sdf_from_tri_verts(
     tri_verts,  # (M, 3, 3) f32 — differentiable input
     f_hi,
@@ -290,6 +297,10 @@ def sdf_from_tri_verts(
             tv_ng, origin, dx, grid_shape=grid_shape
         )
         if sign_mode == "host":
+            if skip_recompute:
+                # non-differentiable callers: the dense kernel's distance IS
+                # the final magnitude — one fused unpack+sign stage finishes
+                return _sign_apply_packed_stage(phi_d, parity_packed, ni), tid
             parity = _unpack_parity_stage(parity_packed, ni)
         else:
             parity = sign_ops.parity_field(
@@ -297,10 +308,8 @@ def sdf_from_tri_verts(
                 tile_shape=tile2d_shape, tiles_dim=tiles2d_dim,
                 grid_shape=grid_shape, chunk=sign_chunk,
             )
-        if skip_recompute:
-            # non-differentiable callers: the dense kernel's distance IS the
-            # final magnitude — just apply the parity sign
-            return _sign_apply_stage(phi_d, parity), tid
+            if skip_recompute:
+                return _sign_apply_stage(phi_d, parity), tid
         return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
 
     phi0, tid0 = band_ops.band_distance_field(
