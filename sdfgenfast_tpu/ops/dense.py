@@ -82,8 +82,12 @@ def _sep_coefs(tri_verts):
       31:35 w23 affine [gx, gy, gz, g0]: barycentric weight on vertex a,
             invdet*(m23*pa - d*pb) (makelevelset3.cpp:55-57) expanded in p
       35:39 w31 affine
-      39    din bias: 0, or +3e38 for exactly-degenerate (zero-area)
-            triangles so the (undefined-normal) inside case can never win
+      39    degenerate flag: 1.0 for (near-)zero-area triangles (cr2 <=
+            1e-30, the same threshold at which the barycentric invdet
+            clamps — det == cr2 by the Lagrange identity), else 0.0. The
+            kernel forces inside=False for flagged triangles so they fall
+            through to the (correct) edge/point distance, exactly like the
+            reference's outside branch (cpu_lib/makelevelset3.cpp:62-70).
     """
     a = tri_verts[:, 0, :]
     b = tri_verts[:, 1, :]
@@ -116,7 +120,7 @@ def _sep_coefs(tri_verts):
     cr2 = jnp.sum(cr * cr, axis=-1)
     n = cr / jnp.sqrt(jnp.maximum(cr2, jnp.float32(1e-37)))[:, None]
     h0 = -jnp.sum(n * c, axis=-1)
-    bias = jnp.where(cr2 > jnp.float32(1e-37), 0.0, 3e38).astype(jnp.float32)
+    degen = jnp.where(cr2 <= jnp.float32(1e-30), 1.0, 0.0).astype(jnp.float32)
 
     return jnp.concatenate(
         [
@@ -125,7 +129,7 @@ def _sep_coefs(tri_verts):
             e_ab.T, e0_ab[None], e_ac.T, e0_ac[None], e_bc.T, e0_bc[None],  # 15:27
             n.T, h0[None],                              # 27:31
             g23.T, g23c[None], g31.T, g31c[None],       # 31:39
-            bias[None],                                 # 39
+            degen[None],                                # 39
         ],
         axis=0,
     )
@@ -179,11 +183,14 @@ def _sep_kernel(params_ref, off_ref, coef_ref, d_ref, tid_ref, *, nj, m_pad):
         ucz = z - cf(5)
 
         h = hu + hv
-        din = h * h + cf(39)
+        din = h * h
         w23 = w23u + w23v
         w31 = w31u + w31v
         w12 = w12u + w12v
-        inside = jnp.minimum(jnp.minimum(w23, w31), w12) >= 0.0
+        # degenerate triangles (cf(39) == 1) have meaningless normals and
+        # clamped barycentric weights: force the outside branch so they get
+        # their exact edge/point distance (makelevelset3.cpp:62-70)
+        inside = (jnp.minimum(jnp.minimum(w23, w31), w12) >= 0.0) & (cf(39) < 0.5)
 
         def edge_d2(su, sv, wx, wy, wz, ux, uy, uz):
             s = jnp.clip(su + sv, 0.0, 1.0)
@@ -291,9 +298,13 @@ def _dense_impl(tri_verts, origin, dx, ijk_offset, *, grid_shape, interpret):
     if m > DENSE_MAX_TRIS:
         raise ValueError(f"dense path capped at {DENSE_MAX_TRIS} triangles, got {m}")
 
-    params = jnp.stack(
-        [origin[0], origin[1], origin[2], jnp.float32(dx)]
-    ).reshape(1, 4)
+    # Grid-local coordinates: subtracting the grid origin from the triangle
+    # table once keeps every affine coefficient O(mesh extent) instead of
+    # O(|origin|), so meshes modeled far from the world origin keep the
+    # reference's difference-form accuracy (cells evaluate at x = i*dx).
+    tri_local = tri_verts - origin.astype(tri_verts.dtype)
+    zero = jnp.float32(0)
+    params = jnp.stack([zero, zero, zero, jnp.float32(dx)]).reshape(1, 4)
     offs = ijk_offset.astype(jnp.int32).reshape(1, 3)
 
     rows = ni * nj
@@ -301,17 +312,19 @@ def _dense_impl(tri_verts, origin, dx, ijk_offset, *, grid_shape, interpret):
     rows_pad = nb * _SUBLANES
 
     if m <= _SEP_MAX_TRIS:
-        table = _sep_coefs(tri_verts)  # (40, M) SMEM coefficient table
-        # pad M to the unroll multiple; padded columns are all-zero except a
-        # +3e38 din bias: their w's are (0, 0, 1) => inside, din = 3e38 =>
-        # they can never win the min, and their ids are never emitted
+        table = _sep_coefs(tri_local)  # (40, M) SMEM coefficient table
+        # pad M to the unroll multiple; padded columns get the degenerate
+        # flag (=> outside branch) plus a huge b/c translation, so their
+        # edge/point distance ~3e37 can never win the min anywhere in a
+        # real grid and their ids are never emitted
         m_pad = -(-m // _SEP_UNROLL) * _SEP_UNROLL
         if m_pad != m:
             table = jnp.pad(table, ((0, 0), (0, m_pad - m)))
-            table = table.at[_NC - 1, m:].set(jnp.float32(3e38))
+            table = table.at[0:6, m:].set(jnp.float32(3e18))
+            table = table.at[_NC - 1, m:].set(jnp.float32(1.0))
         kernel = partial(_sep_kernel, nj=nj, m_pad=m_pad)
     else:
-        table = tri_verts.reshape(m, 9).T  # (9, M) SoA for SMEM residence
+        table = tri_local.reshape(m, 9).T  # (9, M) SoA for SMEM residence
         kernel = partial(_dense_kernel, nj=nj, m=m)
 
     d, tid = pl.pallas_call(

@@ -34,6 +34,78 @@ class TestDenseKernel:
         # every argmin id actually achieves the min distance
         assert (np.asarray(tid) >= 0).all() and (np.asarray(tid) < len(m.tris)).all()
 
+    def test_matches_oracle_off_origin(self):
+        # coefficients are built in grid-local coordinates, so a mesh (and
+        # grid) modeled ~1e3 from the world origin keeps difference-form
+        # accuracy instead of cancelling O(|p|*eps) terms
+        off = 1000.0
+        m = icosphere(1, radius=1.0, center=(off + 0.05, off - 0.03, off + 0.08))
+        tv = jnp.asarray(m.verts)[jnp.asarray(m.tris.astype(np.int32))]
+        gs = (14, 17, 19)
+        origin = (off - 1.31, off - 1.24, off - 1.18)
+        dx = 0.17
+        phi, _ = dense_distance_field(
+            tv, jnp.asarray(origin, jnp.float32), jnp.float32(dx), grid_shape=gs
+        )
+        ref = np.abs(brute_force_sdf(m.verts, m.tris, origin, dx, gs))
+        np.testing.assert_allclose(np.asarray(phi), ref, rtol=2e-4, atol=2e-4)
+
+    def test_degenerate_triangle_gets_point_distance(self):
+        # zero-area triangle: the separable kernel must fall through to the
+        # edge/point distance (makelevelset3.cpp:49-70), not the undefined
+        # inside-plane branch
+        pt = np.array([0.5, 0.5, 0.5], np.float32)
+        tv = jnp.asarray(np.broadcast_to(pt, (1, 3, 3)).copy())
+        gs = (10, 10, 10)
+        phi, _ = dense_distance_field(
+            tv, jnp.zeros((3,), jnp.float32), jnp.float32(0.1), grid_shape=gs
+        )
+        idx = np.stack(np.meshgrid(*[np.arange(10)] * 3, indexing="ij"), -1)
+        ref = np.linalg.norm(idx * 0.1 - pt, axis=-1)
+        np.testing.assert_allclose(np.asarray(phi), ref, rtol=1e-5, atol=1e-6)
+
+    def test_segment_triangle_gets_segment_distance(self):
+        # two coincident vertices -> segment; edge path must handle it
+        tv = jnp.asarray(
+            [[[0.2, 0.5, 0.5], [0.8, 0.5, 0.5], [0.8, 0.5, 0.5]]], jnp.float32
+        )
+        phi, _ = dense_distance_field(
+            tv, jnp.zeros((3,), jnp.float32), jnp.float32(0.1),
+            grid_shape=(10, 10, 10),
+        )
+        # cell (5,5,5) = (0.5,0.5,0.5) lies on the segment; (5,5,8) is 0.3 off
+        assert abs(float(phi[5, 5, 5])) < 1e-6
+        np.testing.assert_allclose(float(phi[5, 5, 8]), 0.3, rtol=1e-5)
+
+    def test_soa_fallback_matches_oracle_and_sep(self):
+        # icosphere(3) = 1280 tris exceeds DENSE_MAX_TRIS; cap a slice at 512
+        # so the SoA fallback (> _SEP_MAX_TRIS=384) keeps oracle coverage,
+        # and compare sep vs SoA on the same mesh
+        from sdfgenfast_tpu.ops import dense as dense_mod
+
+        m = icosphere(3, radius=1.0, center=(0.02, -0.01, 0.03))
+        tris = m.tris[:512]
+        tv = jnp.asarray(m.verts)[jnp.asarray(tris.astype(np.int32))]
+        gs = (9, 10, 11)
+        origin = (-1.2, -1.15, -1.1)
+        dx = 0.24
+        assert tv.shape[0] > dense_mod._SEP_MAX_TRIS
+        phi_soa, _ = dense_distance_field(
+            tv, jnp.asarray(origin, jnp.float32), jnp.float32(dx), grid_shape=gs
+        )
+        ref = np.abs(brute_force_sdf(m.verts, tris, origin, dx, gs))
+        np.testing.assert_allclose(np.asarray(phi_soa), ref, rtol=2e-5, atol=2e-6)
+
+        # same mesh through the separable kernel (cap raised via monkeypath of
+        # the module constant is avoided: take a <=384 subset both kernels see)
+        tris384 = m.tris[:384]
+        tv384 = jnp.asarray(m.verts)[jnp.asarray(tris384.astype(np.int32))]
+        phi_sep, _ = dense_distance_field(
+            tv384, jnp.asarray(origin, jnp.float32), jnp.float32(dx), grid_shape=gs
+        )
+        ref384 = np.abs(brute_force_sdf(m.verts, tris384, origin, dx, gs))
+        np.testing.assert_allclose(np.asarray(phi_sep), ref384, rtol=2e-5, atol=2e-6)
+
     def test_cap_enforced(self):
         cfg = SDFConfig()
         assert use_dense(cfg, 36)
