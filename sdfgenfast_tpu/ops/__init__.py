@@ -1,1 +1,1 @@
-from . import band, dense, df, geometry, jfa, sign, sign_host, sweep  # noqa: F401
+from . import band, dense, df, geometry, sign, sign_host, sweep, tiled, vdt  # noqa: F401

@@ -124,14 +124,33 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
         np.asarray(binned.grid.origin, np.float32), mesh, rep
     )
 
+    from ..ops import vdt as vdt_ops
+
+    dense = use_dense(cfg, len(binned.tris))
+    ni, nj_l, nk_l = binned.block
+    if dense:
+        strides = ()
+    else:
+        cap = cfg.vdt_max_hop
+        if cap is None or cap > min(nj_l, nk_l):
+            raise ValueError(
+                "sharded runs need config.vdt_max_hop <= the shard block on "
+                f"the sharded axes (min(nj_l, nk_l) = {min(nj_l, nk_l)})"
+            )
+        Dj, Dk = binned.dims
+        strides = vdt_ops.stride_ladder(
+            max(ni, nj_l * Dj, nk_l * Dk), max_hop=cap,
+            extra_rounds=cfg.vdt_extra_rounds,
+        )
     return _sharded_core(
         tv, b_ids, b_cand, b_valid, packed,
         origin, jnp.float32(binned.grid.dx),
         mesh_obj=mesh, block=binned.block,
         band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
-        max_passes=cfg.max_passes, band_chunk=cfg.band_chunk,
-        jfa_tile_shape=cfg.jfa_tile_shape,
-        dense=use_dense(cfg, len(binned.tris)),
+        band_chunk=cfg.band_chunk, strides=strides,
+        chamfer_passes=cfg.chamfer_passes,
+        seed_band=max(cfg.exact_band, 3),
+        dense=dense,
         skip_recompute=True,
     )
 

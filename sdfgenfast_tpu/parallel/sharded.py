@@ -13,13 +13,13 @@ Design choices that make the domain decomposition cheap on ICI:
 - Narrow-band and sign binning are computed globally on host, then the active
   tiles are partitioned by owner device (tiles never straddle shard edges by
   construction), so each shard runs the identical single-device kernels.
-- The far-field plane-scan propagation reads STALE halos: each pass starts
-  with a corner-complete halo exchange (two-phase ppermute: j-planes first,
-  then k-planes of the j-extended block so corners ride along), then all
-  devices sweep locally in parallel. Stale boundaries are the deterministic
-  analog of the reference CPU backend's intentional cross-slice race
-  ("FluidX3D approach", makelevelset3.cpp:238): convergence is recovered by
-  iterating passes until a psum'd changed-flag clears.
+- The far field runs the closest-point jump flood (ops/vdt.py) with a
+  stride ladder capped at config.vdt_max_hop <= the shard block: each
+  Jacobi round exchanges one corner-complete max_hop-deep halo slab
+  (two-phase ppermute: j-planes first, then k-planes of the j-extended
+  block so corners ride along) and is bit-identical to the single-device
+  round of the same capped ladder. The final Lipschitz relaxation
+  exchanges 1-cell halos the same way.
 - Vertex gradients: tri_verts enter replicated; shard_map's transpose inserts
   the cross-device psum of the per-shard partial gradients automatically.
 """
@@ -39,10 +39,10 @@ from jax import shard_map
 from ..grid import GridSpec
 from ..mesh import Mesh as TriMesh
 from ..ops import band as band_ops
+from ..ops import vdt as vdt_ops
 from ..ops import dense as dense_ops
-from ..ops import jfa as jfa_ops
 from ..ops import sign_host as sign_host_ops
-from ..ops.geometry import gather_tri9, point_triangle_distance_sq_soa
+from ..ops import tiled as tiled_ops
 from ..pipeline import SDFConfig, _recompute_phi, use_dense
 
 __all__ = ["make_device_mesh", "ShardedBinned", "bin_mesh_sharded", "sharded_sdf"]
@@ -151,8 +151,11 @@ def bin_mesh_sharded(
         b_cand = np.zeros((Dj, Dk, 0, 1), np.int32)
         b_valid = np.zeros((Dj, Dk, 0, 1), bool)
     else:
+        # same >=3-cell seed band as the single-device exact path (pipeline
+        # bin_mesh) so sharded and single-device results match exactly
+        seed_band = max(config.exact_band, 3)
         bb = band_ops.bin_triangles(
-            mesh.verts, mesh.tris, grid, config.exact_band, config.tile_shape
+            mesh.verts, mesh.tris, grid, seed_band, config.tile_shape
         )
         nti = -(-ni // ti)
         band_tiles_local = (nti, nj_l // tj, nk_l // tk)
@@ -193,87 +196,51 @@ def _neighbor_shift(x, axis_name, src_offset, fill):
     return jnp.where(at_edge, jnp.full_like(x, fill), y)
 
 
-def _extend(x, axis_name, axis, fill):
-    # lo halo = LAST plane of the previous device (src_offset -1);
-    # hi halo = FIRST plane of the next device (src_offset +1).
+def _extend(x, axis_name, axis, fill, depth: int = 1):
+    # lo halo = LAST `depth` planes of the previous device (src_offset -1);
+    # hi halo = FIRST `depth` planes of the next device (src_offset +1).
     lo = _neighbor_shift(
-        jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis),
+        jax.lax.slice_in_dim(x, x.shape[axis] - depth, x.shape[axis], axis=axis),
         axis_name, -1, fill,
     )
-    hi = _neighbor_shift(jax.lax.slice_in_dim(x, 0, 1, axis=axis), axis_name, 1, fill)
+    hi = _neighbor_shift(
+        jax.lax.slice_in_dim(x, 0, depth, axis=axis), axis_name, 1, fill
+    )
     return jnp.concatenate([lo, x, hi], axis=axis)
 
 
-def _exchange_tid_halos(tid):
-    """Stale, corner-complete extended tid: (ni+2, nj_l+2, nk_l+2).
+def _sharded_chamfer(phi, dx, passes):
+    """Lipschitz relaxation with corner-complete cross-shard halos.
 
-    j-phase first, then k-phase over the j-extended block (carries corners).
-    The i-axis is unsharded: padded with -1 (no cell there).
-    """
-    t = _extend(tid, "j", 1, jnp.int32(-1))
-    t = _extend(t, "k", 2, jnp.int32(-1))
-    return jnp.pad(t, ((1, 1), (0, 0), (0, 0)), constant_values=-1)
+    Each pass reads only pass-start state (the halo exchange snapshots it),
+    so a sharded pass is bit-identical to the single-device
+    ``ops/vdt.chamfer_relax`` pass and sharded results match single-device
+    exactly at any pass count."""
+    ni, nj_l, nk_l = phi.shape
+    offs = jnp.asarray(vdt_ops._OFFSETS26, dtype=jnp.int32)
+    step = jnp.sqrt(
+        jnp.sum(jnp.asarray(vdt_ops._OFFSETS26, jnp.float32) ** 2, axis=-1)
+    ) * dx
+    big = jnp.float32(3e38)
 
+    for _ in range(passes):
+        ext = _extend(phi, "j", 1, big)
+        ext = _extend(ext, "k", 2, big)
+        ext = jnp.pad(ext, ((1, 1), (0, 0), (0, 0)), constant_values=big)
 
-def _sharded_refine(d2, tid, tri9, pos_axes, max_passes):
-    """Jacobi 26-neighbor polish with per-pass corner-complete halo exchange.
-
-    Each pass reads only pass-start state (true Jacobi), so a sharded pass is
-    bit-identical to the single-device refine pass in ops/jfa.py — sharded
-    and single-device results agree exactly at convergence."""
-    shape = d2.shape
-    p = (
-        jnp.broadcast_to(pos_axes[0][:, None, None], shape),
-        jnp.broadcast_to(pos_axes[1][None, :, None], shape),
-        jnp.broadcast_to(pos_axes[2][None, None, :], shape),
-    )
-    def eval_tid(t):
-        a, b, c = gather_tri9(tri9, t)
-        dd = point_triangle_distance_sq_soa(p, a, b, c)
-        return jnp.where(t >= 0, dd, jnp.float32(jnp.inf))
-
-    ni, nj_l, nk_l = shape
-    offs = jnp.asarray(jfa_ops._OFFSETS, dtype=jnp.int32)
-
-    def one_pass(state):
-        d2_best, tid, it, _ = state
-        ext = _exchange_tid_halos(tid)  # (ni+2, nj_l+2, nk_l+2), pass-start
-        # fori_loop over dynamic slices, not 26 static shifts: XLA hoists the
-        # unrolled shift buffers simultaneously and OOMs at large grids (same
-        # fix as ops/jfa.py refine_closest)
-
-        def body(k, carry):
-            d2_new, tid_new = carry
+        def body(k, acc):
             o = offs[k]
-            cand = jax.lax.dynamic_slice(
-                ext, (1 - o[0], 1 - o[1], 1 - o[2]), (ni, nj_l, nk_l)
+            nb = jax.lax.dynamic_slice(
+                ext, (1 + o[0], 1 + o[1], 1 + o[2]), (ni, nj_l, nk_l)
             )
-            d2c = eval_tid(cand)
-            better = d2c < d2_new
-            return (
-                jnp.where(better, d2c, d2_new),
-                jnp.where(better, cand, tid_new),
-            )
+            return jnp.minimum(acc, nb + step[k])
 
-        d2_new, tid_new = jax.lax.fori_loop(
-            0, len(jfa_ops._OFFSETS), body, (d2_best, tid)
-        )
-        changed_local = jnp.any(tid_new != tid).astype(jnp.int32)
-        changed = jax.lax.psum(jax.lax.psum(changed_local, "j"), "k") > 0
-        return d2_new, tid_new, it + 1, changed
-
-    def cond(state):
-        _, _, it, changed = state
-        return changed & (it < max_passes)
-
-    d2f, tid, _, _ = jax.lax.while_loop(
-        cond, one_pass, (d2, tid, jnp.int32(0), jnp.bool_(True))
-    )
-    return d2f, tid
+        phi = jax.lax.fori_loop(0, offs.shape[0], body, phi)
+    return phi
 
 
-def _make_inner(block, band_tiles_local, tile_shape, max_passes, band_chunk,
-                jfa_tile_shape):
+def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
+                strides, chamfer_passes, seed_band, skip_recompute):
     ni, nj_l, nk_l = block
 
     def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed):
@@ -292,75 +259,55 @@ def _make_inner(block, band_tiles_local, tile_shape, max_passes, band_chunk,
         j_off = (dj * nj_l).astype(jnp.int32)
         k_off = (dk * nk_l).astype(jnp.int32)
         ijk_off = jnp.stack([jnp.int32(0), j_off, k_off])
-        # world coords of local cells from GLOBAL indices: f32(idx)*dx+origin,
-        # bit-identical to the reference (makelevelset3.cpp:214)
-        pos_axes = (
-            jnp.arange(ni, dtype=jnp.float32) * dx + origin[0],
-            (jnp.arange(nj_l, dtype=jnp.int32) + j_off).astype(jnp.float32) * dx
-            + origin[1],
-            (jnp.arange(nk_l, dtype=jnp.int32) + k_off).astype(jnp.float32) * dx
-            + origin[2],
-        )
 
         tv_ng = jax.lax.stop_gradient(tri_verts)
 
-        phi0, tid0 = band_ops.band_distance_field(
+        phi_rows, tid_rows = tiled_ops.tile_candidate_rows(
             tv_ng, b_ids, b_cand, b_valid, origin, dx,
             tile_shape=tile_shape, tiles_dim=band_tiles_local,
             grid_shape=(ni, nj_l, nk_l), chunk=band_chunk,
             ijk_offset=ijk_off, upper_override=up,
         )
+        table = tiled_ops.tri_affine_table(
+            tv_ng - origin.astype(tv_ng.dtype)
+        )
+        cp_rows = tiled_ops.closest_point_rows(
+            table, b_ids, tid_rows, dx,
+            tile_shape=tile_shape, tiles_dim=band_tiles_local,
+            chunk=band_chunk, ijk_offset=ijk_off, far=vdt_ops.FAR,
+        )
+        phi0, tid0 = tiled_ops.scatter_untile(
+            phi_rows, tid_rows, b_ids, up,
+            tile_shape, band_tiles_local, (ni, nj_l, nk_l),
+        )
+        cpx, cpy, cpz = (
+            tiled_ops.scatter_rows(
+                r, b_ids, vdt_ops.FAR, tile_shape, band_tiles_local,
+                (ni, nj_l, nk_l),
+            )
+            for r in cp_rows
+        )
+
+        def halo_extend(state, s):
+            # corner-complete s-deep halos on the sharded j/k axes; the
+            # (unsharded) i axis is handled inside the VDT round
+            ext = _extend(state, "j", 1, vdt_ops.FAR, depth=s)
+            return _extend(ext, "k", 2, vdt_ops.FAR, depth=s)
+
+        freeze = (tid0 >= 0) & (phi0 <= jnp.float32(seed_band) * dx)
+        phi, tid = vdt_ops.vdt_far_field(
+            cpx, cpy, cpz, tid0, phi0, dx, strides, freeze_mask=freeze,
+            ijk_offset=(0, j_off, k_off), halo_extend=halo_extend,
+        )
+        if chamfer_passes > 0:
+            phi = _sharded_chamfer(phi, dx, chamfer_passes)
 
         parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
-
-        # ---- far field: REPLICATED tile JFA + per-shard evaluation ----
-        lti, ltj, ltk = band_tiles_local
-        ji, jj2, jk2 = jfa_tile_shape
-        r1, r2, r3 = tile_shape[0] // ji, tile_shape[1] // jj2, tile_shape[2] // jk2
-        # global JFA tile grid (i covered by local tiles; j/k by all shards)
-        gjfa = (lti * r1, ltj * r2 * Dj, ltk * r3 * Dk)
-        band_tile_off = jnp.stack(
-            [jnp.int32(0), (dj * ltj).astype(jnp.int32), (dk * ltk).astype(jnp.int32)]
-        )
-        seed_local = jfa_ops.tile_seed_field(
-            tv_ng, b_ids, b_cand, b_valid,
-            band_tiles_local, tile_shape, gjfa, jfa_tile_shape, origin, dx,
-            band_tile_offset=band_tile_off,
-        )  # dense GLOBAL-sized field, -1 outside this shard's tiles
-        # combine across shards: disjoint ownership -> elementwise max
-        seed = jax.lax.pmax(jax.lax.pmax(seed_local, "j"), "k")
-
-        jfa1, jfa2 = jfa_ops.tile_jfa_closest(
-            tv_ng, seed, gjfa, jfa_tile_shape, origin, dx
-        )
-        cands_all = jfa_ops.neighborhood_candidates(jfa1, jfa2)  # (T_glob, 56)
-        cands_all = cands_all.reshape(gjfa[0], gjfa[1], gjfa[2], 56)
-        local_jfa = (lti * r1, ltj * r2, ltk * r3)
-        cands = jax.lax.dynamic_slice(
-            cands_all,
-            (0, dj * ltj * r2, dk * ltk * r3, 0),
-            (local_jfa[0], local_jfa[1], local_jfa[2], 56),
-        ).reshape(-1, 56)
-
-        T_loc = cands.shape[0]
-        phi_far, tid_far = band_ops.band_distance_field(
-            tv_ng,
-            jnp.arange(T_loc, dtype=jnp.int32),
-            jnp.maximum(cands, 0),
-            cands >= 0,
-            origin, dx,
-            tile_shape=jfa_tile_shape, tiles_dim=local_jfa,
-            grid_shape=(ni, nj_l, nk_l), chunk=band_chunk,
-            ijk_offset=ijk_off, upper_override=up,
-        )
-        better = phi_far < phi0
-        phi = jnp.where(better, phi_far, phi0)
-        tid = jnp.where(better, tid_far, tid0)
-
-        tri9 = tv_ng.reshape(-1, 9).T
-        _, tid = _sharded_refine(jnp.square(phi), tid, tri9, pos_axes, max_passes)
-
-        out = _recompute_phi(tri_verts, tid, parity, origin, dx, up, ijk_offset=ijk_off)
+        if skip_recompute:
+            out = jnp.where(parity, -phi, phi)
+        else:
+            out = _recompute_phi(tri_verts, tid, parity, origin, dx, up,
+                                 ijk_offset=ijk_off)
         return out[None, None]  # restore (1, 1) block axes
 
     return inner
@@ -404,23 +351,25 @@ def _make_inner_dense(block, skip_recompute, interpret):
     jax.jit,
     static_argnames=(
         "mesh_obj", "block", "band_tiles_local", "tile_shape",
-        "max_passes", "band_chunk", "jfa_tile_shape", "dense", "skip_recompute",
+        "band_chunk", "strides", "chamfer_passes", "seed_band", "dense",
+        "skip_recompute",
     ),
 )
 def _sharded_core(
     tri_verts,
     band_ids, band_cand, band_valid, parity_packed,
     origin, dx,
-    *, mesh_obj, block, band_tiles_local, tile_shape, max_passes, band_chunk,
-    jfa_tile_shape, dense=False, skip_recompute=False,
+    *, mesh_obj, block, band_tiles_local, tile_shape, band_chunk,
+    strides, chamfer_passes, seed_band=3, dense=False, skip_recompute=False,
 ):
     """Returns phi blocks (Dj, Dk, ni, nj_l, nk_l), grid-sharded over the mesh."""
     if dense:
         interpret = jax.default_backend() != "tpu"
         inner = _make_inner_dense(block, skip_recompute, interpret)
     else:
-        inner = _make_inner(block, band_tiles_local, tile_shape, max_passes,
-                            band_chunk, jfa_tile_shape)
+        inner = _make_inner(block, band_tiles_local, tile_shape,
+                            band_chunk, strides, chamfer_passes, seed_band,
+                            skip_recompute)
     blk2 = P("j", "k", None)
     blk3 = P("j", "k", None, None)
     blk4 = P("j", "k", None, None, None)
@@ -451,6 +400,24 @@ def sharded_sdf(
     cfg = binned.config
     if cfg.far_field != "exact":
         raise NotImplementedError("sharded pipeline currently supports far_field='exact'")
+    dense = use_dense(cfg, len(binned.tris))
+    ni, nj_l, nk_l = binned.block
+    if dense:
+        strides = ()
+    else:
+        cap = cfg.vdt_max_hop
+        if cap is None or cap > min(nj_l, nk_l):
+            raise ValueError(
+                "sharded runs need config.vdt_max_hop <= the shard block on "
+                f"the sharded axes (min(nj_l, nk_l) = {min(nj_l, nk_l)}); a "
+                "single-device run with the same vdt_max_hop matches "
+                "bit-exactly"
+            )
+        Dj, Dk = binned.dims
+        gshape = (ni, nj_l * Dj, nk_l * Dk)
+        strides = vdt_ops.stride_ladder(
+            max(gshape), max_hop=cap, extra_rounds=cfg.vdt_extra_rounds
+        )
     # concrete (non-traced) verts cannot be differentiated through anyway, so
     # the dense path may apply the sign directly instead of re-evaluating
     # distances through the differentiable recompute
@@ -465,9 +432,10 @@ def sharded_sdf(
         jnp.asarray(binned.grid.origin, jnp.float32), jnp.float32(binned.grid.dx),
         mesh_obj=device_mesh, block=binned.block,
         band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
-        max_passes=cfg.max_passes, band_chunk=cfg.band_chunk,
-        jfa_tile_shape=cfg.jfa_tile_shape,
-        dense=use_dense(cfg, len(binned.tris)),
+        band_chunk=cfg.band_chunk, strides=strides,
+        chamfer_passes=cfg.chamfer_passes,
+        seed_band=max(cfg.exact_band, 3),
+        dense=dense,
         skip_recompute=skip_recompute,
     )
     if not assemble:

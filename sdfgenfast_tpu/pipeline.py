@@ -32,10 +32,11 @@ from .grid import GridSpec
 from .mesh import Mesh
 from .ops import band as band_ops
 from .ops import dense as dense_ops
-from .ops import jfa as jfa_ops
+from .ops import vdt as vdt_ops
 from .ops import sign as sign_ops
 from .ops import sign_host as sign_host_ops
 from .ops import sweep as sweep_ops
+from .ops import tiled as tiled_ops
 from .ops.geometry import gather_tri9, point_triangle_distance_sq_soa
 
 __all__ = ["SDFConfig", "Binned", "bin_mesh", "sdf_from_tri_verts", "make_level_set3"]
@@ -44,7 +45,10 @@ __all__ = ["SDFConfig", "Binned", "bin_mesh", "sdf_from_tri_verts", "make_level_
 @dataclasses.dataclass(frozen=True)
 class SDFConfig:
     exact_band: int = 1
-    far_field: str = "exact"  # "exact" (CPU-backend semantics) | "eikonal" (CUDA)
+    # "exact": band + closest-point jump-flood far field (CPU-backend
+    # semantics, default); "propagate": directional plane scans;
+    # "eikonal": CUDA-backend semantics
+    far_field: str = "exact"
     # "host": parity computed in NumPy float64 during binning (exact reference
     # parity, fastest); "device": double-float SOS predicates on device
     # (self-contained, but this backend compiles the long df chains slowly)
@@ -55,9 +59,16 @@ class SDFConfig:
     # pass changes nothing; sharded runs advance one shard per pass, so the
     # cap must exceed (passes to converge) + (shard count along j/k)
     max_passes: int = 64
-    # far-field JFA granularity (decoupled from the band tiling): finer tiles
-    # give more local candidates at the same total evaluation cost
-    jfa_tile_shape: Tuple[int, int, int] = (4, 4, 4)
+    # "exact" mode far field (ops/vdt.py): extra stride-1 polish rounds of
+    # the closest-point jump flood, and an optional stride cap. Sharded runs
+    # need max_hop <= the shard block on the sharded axes (one halo slab per
+    # round); single-device results with the same cap match shard runs
+    # bit-exactly. None = full ladder (fastest, single-device default).
+    vdt_extra_rounds: int = 2
+    vdt_max_hop: Optional[int] = None
+    # Lipschitz (chamfer) relaxation passes on the final unsigned field —
+    # tightens the rare residual far-field overestimates at negligible cost
+    chamfer_passes: int = 2
     # meshes with at most this many triangles skip binning/band/JFA entirely:
     # one fused Pallas kernel evaluates every cell against every triangle
     # (exact everywhere, seconds to compile). 0 disables the dense path.
@@ -104,8 +115,13 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
         packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
         return Binned(grid, config, None, None,
                       mesh.tris.astype(np.int32), packed)
+    # The FDT far field draws its candidates from band-result winners; a
+    # >=3-cell seed band makes the 27-neighborhood union cover the true
+    # closest triangle for near-band cells (measured: max far-field error
+    # 0.37dx at band 1 -> 0.023dx at band 3). A wider user band is honored.
+    seed_band = max(config.exact_band, 3 if config.far_field == "exact" else config.exact_band)
     bb = band_ops.bin_triangles(
-        mesh.verts, mesh.tris, grid, config.exact_band, config.tile_shape
+        mesh.verts, mesh.tris, grid, seed_band, config.tile_shape
     )
 
     def pad_band(bb):
@@ -202,30 +218,70 @@ def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("jfa_tiles_dim", "jfa_tile_shape", "band_tile_shape", "band_tiles_dim"))
-def _jfa_stage(tri_verts, band_ids, band_cand, band_valid, origin, dx,
-               *, jfa_tiles_dim, jfa_tile_shape, band_tile_shape, band_tiles_dim):
-    seed = jfa_ops.tile_seed_field(
-        tri_verts, band_ids, band_cand, band_valid, band_tiles_dim,
-        band_tile_shape, jfa_tiles_dim, jfa_tile_shape, origin, dx,
+@partial(
+    jax.jit,
+    static_argnames=(
+        "grid_shape", "tile_shape", "tiles_dim", "strides",
+        "chamfer_passes", "band_chunk", "seed_band", "jacobi", "apply_sign",
+    ),
+)
+def _exact_core(
+    tri_verts, band_ids, band_cand, band_valid, parity_packed, origin, dx,
+    *, grid_shape, tile_shape, tiles_dim, strides, chamfer_passes,
+    band_chunk, seed_band, jacobi, apply_sign,
+):
+    """The default single-program pipeline for binned meshes.
+
+    band (MXU-form per-tile eval, exact distances AND exact closest points)
+    -> closest-point jump flooding over the cell grid (ops/vdt.py: pure
+    rolls + elementwise, no gathers) -> Lipschitz relaxation ->
+    (optionally) fused host-parity sign. ONE jit: through the axon tunnel
+    every separate dispatch costs a ~25 ms synchronous round trip, so stage
+    fusion is itself a first-order optimization.
+
+    Mirrors the reference pipeline's stages (narrow band
+    cpu_lib/makelevelset3.cpp:203-220, id-propagating far field :243-292,
+    sign application :295-303) with TPU-shaped algorithms.
+    """
+    ni, nj, nk = grid_shape
+    upper = (jnp.float32(ni + nj + nk)) * dx
+
+    phi_rows, tid_rows = tiled_ops.tile_candidate_rows(
+        tri_verts, band_ids, band_cand, band_valid, origin, dx,
+        tile_shape=tile_shape, tiles_dim=tiles_dim, grid_shape=grid_shape,
+        chunk=band_chunk,
     )
-    t1, t2 = jfa_ops.tile_jfa_closest(
-        tri_verts, seed, jfa_tiles_dim, jfa_tile_shape, origin, dx
+    table = tiled_ops.tri_affine_table(
+        tri_verts - origin.astype(tri_verts.dtype)
     )
-    return jfa_ops.neighborhood_candidates(t1, t2)
-
-
-@jax.jit
-def _merge_stage(phi_far, tid_far, phi0, tid0):
-    better = phi_far < phi0
-    return jnp.where(better, phi_far, phi0), jnp.where(better, tid_far, tid0)
-
-
-@partial(jax.jit, static_argnames=("max_passes",))
-def _refine_stage(phi, tid, tri_verts, origin, dx, max_passes=10):
-    return jfa_ops.refine_closest(
-        phi, tid, tri_verts, origin, dx, max_passes=max_passes
+    cp_rows = tiled_ops.closest_point_rows(
+        table, band_ids, tid_rows, dx,
+        tile_shape=tile_shape, tiles_dim=tiles_dim, chunk=band_chunk,
+        far=vdt_ops.FAR,
     )
+
+    phi0, tid0 = tiled_ops.scatter_untile(
+        phi_rows, tid_rows, band_ids, upper, tile_shape, tiles_dim, grid_shape
+    )
+    cpx, cpy, cpz = (
+        tiled_ops.scatter_rows(
+            r, band_ids, vdt_ops.FAR, tile_shape, tiles_dim, grid_shape
+        )
+        for r in cp_rows
+    )
+
+    freeze = (tid0 >= 0) & (phi0 <= jnp.float32(seed_band) * dx)
+    phi, tid = vdt_ops.vdt_far_field(
+        cpx, cpy, cpz, tid0, phi0, dx, strides, freeze_mask=freeze,
+        jacobi=jacobi,
+    )
+    if chamfer_passes > 0:
+        phi = vdt_ops.chamfer_relax(phi, dx, passes=chamfer_passes)
+
+    if apply_sign:
+        parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
+        return jnp.where(parity, -phi, phi), tid
+    return phi, tid
 
 
 @partial(jax.jit, static_argnames=("chunk_cells",))
@@ -275,7 +331,10 @@ def sdf_from_tri_verts(
     eikonal_iters=None,
     band_chunk=128,
     sign_chunk=64,
-    jfa_tile_shape=(4, 4, 4),
+    vdt_extra_rounds=2,
+    vdt_max_hop=None,
+    chamfer_passes=2,
+    seed_band=3,
     sign_mode="host",
     dense_max_tris=dense_ops.DENSE_MAX_TRIS,
     skip_recompute=False,
@@ -312,6 +371,36 @@ def sdf_from_tri_verts(
                 return _sign_apply_stage(phi_d, parity), tid
         return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
 
+    if far_field == "exact":
+        # ONE fused program: band + closest-point jump-flood far field
+        # (+ fused sign for non-differentiable callers)
+        fuse_sign = sign_mode == "host" and skip_recompute
+        strides = vdt_ops.stride_ladder(
+            max(grid_shape), max_hop=vdt_max_hop, extra_rounds=vdt_extra_rounds
+        )
+        phi, tid = _exact_core(
+            tv_ng, band_ids, band_cand, band_valid,
+            parity_packed if sign_mode == "host" else jnp.zeros((0,), jnp.uint8),
+            origin, dx,
+            grid_shape=grid_shape, tile_shape=tile_shape, tiles_dim=tiles_dim,
+            strides=strides, chamfer_passes=chamfer_passes,
+            band_chunk=band_chunk, seed_band=seed_band,
+            jacobi=vdt_max_hop is not None, apply_sign=fuse_sign,
+        )
+        if fuse_sign:
+            return phi, tid
+        if sign_mode == "host":
+            parity = _unpack_parity_stage(parity_packed, ni)
+        else:
+            parity = sign_ops.parity_field(
+                f_hi, f_lo, sign_ids, sign_cand, sign_valid,
+                tile_shape=tile2d_shape, tiles_dim=tiles2d_dim,
+                grid_shape=grid_shape, chunk=sign_chunk,
+            )
+        if skip_recompute:
+            return _sign_apply_stage(phi, parity), tid
+        return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
+
     phi0, tid0 = band_ops.band_distance_field(
         tv_ng,
         band_ids,
@@ -340,37 +429,7 @@ def sdf_from_tri_verts(
             chunk=sign_chunk,
         )
 
-    if far_field == "exact":
-        # tile-level jump flooding + per-tile 27-neighborhood evaluation
-        # (the TPU-shaped equivalent of the reference's id-propagating sweeps).
-        # The JFA grid is derived from the band tile grid (each band tile
-        # splits into r^3 JFA subtiles) so single-device and sharded runs use
-        # identical JFA dims.
-        r = tuple(t // j for t, j in zip(tile_shape, jfa_tile_shape))
-        if any(rr * j != t for rr, j, t in zip(r, jfa_tile_shape, tile_shape)):
-            raise ValueError(
-                f"jfa_tile_shape {jfa_tile_shape} must divide tile_shape {tile_shape}"
-            )
-        jfa_tiles_dim = tuple(n * rr for n, rr in zip(tiles_dim, r))
-        cands = _jfa_stage(
-            tv_ng, band_ids, band_cand, band_valid, origin, dx,
-            jfa_tiles_dim=jfa_tiles_dim, jfa_tile_shape=jfa_tile_shape,
-            band_tile_shape=tile_shape, band_tiles_dim=tiles_dim,
-        )  # (T, 56)
-        T = cands.shape[0]
-        phi_far, tid_far = band_ops.band_distance_field(
-            tv_ng,
-            jnp.arange(T, dtype=jnp.int32),
-            jnp.maximum(cands, 0),
-            cands >= 0,
-            origin, dx,
-            tile_shape=jfa_tile_shape, tiles_dim=jfa_tiles_dim,
-            grid_shape=grid_shape, chunk=band_chunk,
-        )
-        phi, tid = _merge_stage(phi_far, tid_far, phi0, tid0)
-        phi, tid = _refine_stage(phi, tid, tv_ng, origin, dx, max_passes=max_passes)
-        return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
-    elif far_field == "propagate":
+    if far_field == "propagate":
         # legacy mode: directional plane scans to the 26-neighbor fixed point
         phi, tid = sweep_ops.propagate_closest_triangles(
             phi0, tid0, tv_ng, origin, dx, max_passes=max_passes
@@ -481,7 +540,10 @@ def make_level_set3(
         eikonal_iters=config.eikonal_iters,
         band_chunk=config.band_chunk,
         sign_chunk=config.sign_chunk,
-        jfa_tile_shape=config.jfa_tile_shape,
+        vdt_extra_rounds=config.vdt_extra_rounds,
+        vdt_max_hop=config.vdt_max_hop,
+        chamfer_passes=config.chamfer_passes,
+        seed_band=max(config.exact_band, 3),
         sign_mode=config.sign_mode,
         dense_max_tris=config.dense_max_tris,
         skip_recompute=verts is None,

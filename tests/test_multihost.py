@@ -46,7 +46,8 @@ assert len(jax.devices()) == 8, len(jax.devices())
 mesh = global_device_mesh(shape=(2, 4))
 m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
 g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
-cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris={dense_cap})
+cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris={dense_cap},
+                vdt_max_hop=4)
 sb = bin_mesh_sharded(m, g, (2, 4), cfg)
 blocks = sharded_sdf_multihost(sb, mesh, m.verts)
 phi = assemble_blocks(fetch_global(blocks))
@@ -106,7 +107,8 @@ def test_two_process_matches_single_process(tmp_path, dense_cap):
 
     m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
     g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
-    cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=dense_cap)
+    cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=dense_cap,
+                    vdt_max_hop=4)
     dmesh = make_device_mesh(shape=(2, 4))
     sb = bin_mesh_sharded(m, g, (2, 4), cfg)
     phi_single = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))

@@ -14,9 +14,12 @@ from sdfgenfast_tpu.pipeline import bin_mesh
 
 
 def _assert_equivalent(a, b):
-    # distance-tied triangles may resolve differently across propagation
-    # orders; recomputed distances then differ by at most ~1 ulp
-    np.testing.assert_allclose(a, b, atol=5e-7, rtol=1e-6)
+    # Band cells are frozen to the exact evaluator distances (bit-equal in
+    # both settings). In the far field, cells whose nearest triangles TIE in
+    # f32 distance (icosphere symmetry points) may adopt different winners
+    # across chunkings, and the closest-point reconstructions of tied
+    # triangles differ at ~1e-5 — everything else matches to f32 ulps.
+    np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-6)
     # parity is host-computed and replicated, so the SIGN of every cell must
     # match the single-device result exactly
     np.testing.assert_array_equal(a < 0, b < 0)
@@ -30,13 +33,14 @@ def _mesh_or_skip(shape=None):
 
 class TestShardedParity:
     # dense_max_tris=default exercises the per-shard dense Pallas kernel;
-    # =0 forces the band+JFA+refine tiled path — both must match single-device
+    # =0 forces the band+VDT tiled path — both must match single-device
     @pytest.mark.parametrize("dense_cap", [1024, 0])
     def test_sphere_matches_single_device_exactly(self, dense_cap):
         dmesh = _mesh_or_skip()
         m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
         g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
-        cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=dense_cap)
+        cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=dense_cap,
+                        vdt_max_hop=4)
         sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
         phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
         phi_single = np.asarray(make_level_set3(m, g, cfg))
@@ -47,7 +51,8 @@ class TestShardedParity:
         dmesh = _mesh_or_skip()
         m = box_mesh((3, 4, 5), (-1, -1, -1))
         g = GridSpec((-1.5, -1.5, -1.5), 0.25, (28, 32, 32))
-        cfg = SDFConfig(tile_shape=(4, 4, 4), tile2d_shape=(8, 8))
+        cfg = SDFConfig(tile_shape=(4, 4, 4), tile2d_shape=(8, 8),
+                        vdt_max_hop=4)
         sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
         phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
         phi_single = np.asarray(make_level_set3(m, g, cfg))
@@ -57,7 +62,8 @@ class TestShardedParity:
         dmesh = _mesh_or_skip(shape=(1, 8))
         m = icosphere(1, radius=1.0)
         g = GridSpec((-1.3, -1.3, -1.3), 0.1625, (16, 16, 32))
-        cfg = SDFConfig(tile_shape=(8, 8, 4), tile2d_shape=(8, 4))
+        cfg = SDFConfig(tile_shape=(8, 8, 4), tile2d_shape=(8, 4),
+                        vdt_max_hop=4)
         sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
         phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
         phi_single = np.asarray(make_level_set3(m, g, cfg))
@@ -78,7 +84,7 @@ class TestShardedGradients:
         m = icosphere(1, radius=0.9, center=(0.02, 0.01, -0.03))
         g = GridSpec((-1.3, -1.3, -1.3), 0.1625, (16, 16, 16))
         cfg = SDFConfig(tile_shape=(8, 8, 4), tile2d_shape=(8, 4),
-                        dense_max_tris=dense_cap)
+                        dense_max_tris=dense_cap, vdt_max_hop=4)
         sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
         binned = bin_mesh(m, g, cfg)
         rng = np.random.default_rng(1)

@@ -25,7 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from sdfgenfast_tpu.grid import sizing_mode2a_proportional
 from sdfgenfast_tpu.mesh import box_mesh
 from sdfgenfast_tpu.ops.dense import dense_distance_field
-from sdfgenfast_tpu.pipeline import SDFConfig, bin_mesh, _sign_apply_packed_stage
+from sdfgenfast_tpu.pipeline import SDFConfig, bin_mesh
 
 N = int(os.environ.get("N", "16"))
 
@@ -39,8 +39,6 @@ def main():
     tv = jnp.asarray(mesh.verts)[jnp.asarray(binned.tris)]
     origin = jnp.asarray(grid.origin, jnp.float32)
     dx = jnp.float32(grid.dx)
-    packed = jnp.asarray(binned.parity_packed)
-
     run = lambda: dense_distance_field(tv, origin, dx, grid_shape=grid.shape)
 
     # compile (traces + compiles; no D2H)
@@ -61,7 +59,8 @@ def main():
     print(f"enqueue {N} iters w/ block_until_ready: {t_enq*1e3:.1f} ms "
           f"({t_enq/N*1e3:.2f} ms/iter)")
     print(f"drain (tiny D2H): {t_drain*1e3:.1f} ms -> true kernel "
-          f"~{t_drain/ (N+1) * 1e3:.2f} ms/iter upper bound")
+          f"~{t_drain/N*1e3:.2f} ms/iter upper bound (N enqueued iters "
+          f"pending at most)")
     cells = grid.num_cells
     tot = t_enq + t_drain
     print(f"amortized incl. drain: {tot/(N+1)*1e3:.2f} ms/iter = "
