@@ -88,6 +88,30 @@ def _load() -> Optional[ctypes.CDLL]:
                 c.POINTER(c.c_uint8), c.c_int,
                 c.c_char_p, c.c_int,
             ]
+        if hasattr(lib, "sdfbin_count"):
+            lib.sdfbin_count.restype = c.c_int
+            lib.sdfbin_count.argtypes = [
+                c.POINTER(c.c_float), c.c_int64,
+                c.POINTER(c.c_uint32), c.c_int64,
+                c.POINTER(c.c_double), c.c_double,
+                c.c_int32, c.c_int32, c.c_int32,
+                c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+                c.POINTER(c.c_int64),
+                c.POINTER(c.c_int64), c.POINTER(c.c_int64),
+                c.c_char_p, c.c_int,
+            ]
+            lib.sdfbin_fill.restype = c.c_int
+            lib.sdfbin_fill.argtypes = [
+                c.POINTER(c.c_float), c.c_int64,
+                c.POINTER(c.c_uint32), c.c_int64,
+                c.POINTER(c.c_double), c.c_double,
+                c.c_int32, c.c_int32, c.c_int32,
+                c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+                c.POINTER(c.c_int64), c.c_int64,
+                c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+                c.POINTER(c.c_uint8),
+                c.c_char_p, c.c_int,
+            ]
         if hasattr(lib, "sdfgenio_crossings"):
             lib.sdfgenio_crossings.restype = c.c_int
             lib.sdfgenio_crossings.argtypes = [
@@ -241,3 +265,59 @@ def read_sdf(path: str):
     bmin = np.array(bounds[0:3], np.float32)
     bmax = np.array(bounds[3:6], np.float32)
     return phi, bmin, bmax
+
+
+def bin_triangles_native(verts: np.ndarray, tris: np.ndarray, origin,
+                         dx: float, shape, band: int, tile_shape,
+                         pad_k_to: int = 8):
+    """Native two-pass band binning (csrc/sdfbin.cpp); bit-identical to the
+    NumPy path in ops/band.bin_triangles. Returns (active_ids, cand, valid,
+    tiles_dim) or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "sdfbin_count"):
+        return None
+    c = ctypes
+    ni, nj, nk = (int(v) for v in shape)
+    ti, tj, tk = (int(v) for v in tile_shape)
+    nti, ntj, ntk = -(-ni // ti), -(-nj // tj), -(-nk // tk)
+    verts32 = np.ascontiguousarray(verts, dtype=np.float32)
+    tris32 = np.ascontiguousarray(tris, dtype=np.uint32)
+    origin64 = np.ascontiguousarray(np.asarray(origin, np.float64))
+    dx64 = float(np.float64(np.float32(dx)))
+    counts = np.zeros(nti * ntj * ntk, np.int64)
+    a_out = c.c_int64()
+    k_out = c.c_int64()
+    err = c.create_string_buffer(256)
+    rc = lib.sdfbin_count(
+        verts32.ctypes.data_as(c.POINTER(c.c_float)), len(verts32),
+        tris32.ctypes.data_as(c.POINTER(c.c_uint32)), len(tris32),
+        origin64.ctypes.data_as(c.POINTER(c.c_double)), dx64,
+        ni, nj, nk, band, ti, tj, tk,
+        counts.ctypes.data_as(c.POINTER(c.c_int64)),
+        c.byref(a_out), c.byref(k_out), err, 256,
+    )
+    if rc != 0:
+        raise NativeIOError(err.value.decode() or f"sdfbin_count failed ({rc})")
+    A = int(a_out.value)
+    K = max(int(k_out.value), 1)
+    K = -(-K // pad_k_to) * pad_k_to
+    if A == 0:
+        return (np.zeros((0,), np.int32), np.zeros((0, K), np.int32),
+                np.zeros((0, K), bool), (nti, ntj, ntk))
+    active = np.empty(A, np.int32)
+    cand = np.zeros((A, K), np.int32)
+    valid = np.zeros((A, K), np.uint8)
+    rc = lib.sdfbin_fill(
+        verts32.ctypes.data_as(c.POINTER(c.c_float)), len(verts32),
+        tris32.ctypes.data_as(c.POINTER(c.c_uint32)), len(tris32),
+        origin64.ctypes.data_as(c.POINTER(c.c_double)), dx64,
+        ni, nj, nk, band, ti, tj, tk,
+        counts.ctypes.data_as(c.POINTER(c.c_int64)), K,
+        active.ctypes.data_as(c.POINTER(c.c_int32)),
+        cand.ctypes.data_as(c.POINTER(c.c_int32)),
+        valid.ctypes.data_as(c.POINTER(c.c_uint8)),
+        err, 256,
+    )
+    if rc != 0:
+        raise NativeIOError(err.value.decode() or f"sdfbin_fill failed ({rc})")
+    return active, cand, valid.astype(bool), (nti, ntj, ntk)

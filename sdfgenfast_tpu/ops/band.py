@@ -91,6 +91,18 @@ def bin_triangles(
     ti, tj, tk = tile_shape
     nti, ntj, ntk = _round_up(ni, ti) // ti, _round_up(nj, tj) // tj, _round_up(nk, tk) // tk
 
+    # native fast path (csrc/sdfbin.cpp): bit-identical two-pass counting
+    # sort, ~20x the vectorized NumPy below at the 82k-triangle flagship
+    from ..io import native as _native
+
+    res = _native.bin_triangles_native(
+        verts, tris, grid.origin, grid.dx, grid.shape, exact_band,
+        tile_shape, pad_k_to,
+    )
+    if res is not None:
+        active, cand, valid, tdim = res
+        return BandBinning(tile_shape, tdim, active, cand, valid)
+
     f = triangle_grid_coords(verts, tris, grid)  # (M, 3, 3) float64
     fmin = f.min(axis=1)  # (M, 3)
     fmax = f.max(axis=1)

@@ -289,10 +289,11 @@ def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
         )
 
         def halo_extend(state, s):
-            # corner-complete s-deep halos on the sharded j/k axes; the
-            # (unsharded) i axis is handled inside the VDT round
-            ext = _extend(state, "j", 1, vdt_ops.FAR, depth=s)
-            return _extend(ext, "k", 2, vdt_ops.FAR, depth=s)
+            # corner-complete s-deep halos on the sharded j/k axes of the
+            # CHANNEL-FIRST (5, ni, nj_l, nk_l) state; the (unsharded) i
+            # axis is handled inside the VDT round
+            ext = _extend(state, "j", 2, vdt_ops.FAR, depth=s)
+            return _extend(ext, "k", 3, vdt_ops.FAR, depth=s)
 
         freeze = (tid0 >= 0) & (phi0 <= jnp.float32(seed_band) * dx)
         phi, tid = vdt_ops.vdt_far_field(

@@ -170,3 +170,35 @@ class TestMesh:
         m = Mesh(np.zeros((3, 3), np.float32), np.array([[0, 1, 5]], np.uint32))
         with pytest.raises(ValueError):
             m.validate_indices()
+
+
+class TestNativeBinning:
+    def test_native_matches_numpy(self):
+        import numpy as np
+        from sdfgenfast_tpu.grid import GridSpec
+        from sdfgenfast_tpu.io import native
+        from sdfgenfast_tpu.mesh import icosphere
+        from sdfgenfast_tpu.ops import band as band_ops
+
+        if not native.available() or native.bin_triangles_native(
+            np.zeros((3, 3), np.float32), np.zeros((1, 3), np.uint32),
+            (0, 0, 0), 0.5, (4, 4, 4), 1, (4, 4, 4),
+        ) is None:
+            import pytest
+            pytest.skip("native binning unavailable")
+
+        m = icosphere(3, radius=1.0, center=(0.04, -0.06, 0.02))
+        g = GridSpec((-1.37, -1.29, -1.33), 0.093, (30, 29, 31))
+        bb = band_ops.bin_triangles(m.verts, m.tris, g, 3, (8, 8, 8))
+
+        orig = native.bin_triangles_native
+        try:
+            native.bin_triangles_native = lambda *a, **k: None
+            ref = band_ops.bin_triangles(m.verts, m.tris, g, 3, (8, 8, 8))
+        finally:
+            native.bin_triangles_native = orig
+
+        np.testing.assert_array_equal(bb.active_ids, ref.active_ids)
+        np.testing.assert_array_equal(bb.cand, ref.cand)
+        np.testing.assert_array_equal(bb.cand_valid, ref.cand_valid)
+        assert bb.tiles_dim == ref.tiles_dim
