@@ -132,3 +132,32 @@ def icosphere(subdivisions: int = 2, radius: float = 1.0, center=(0.0, 0.0, 0.0)
         tris = np.array(new_tris, dtype=np.int64)
     verts = verts * radius + np.asarray(center, np.float64)
     return Mesh(verts.astype(np.float32), tris.astype(np.uint32))
+
+
+def torus_mesh(nu: int = 224, nv: int = 224, R: float = 1.0, r: float = 0.4,
+               center=(0.0, 0.0, 0.0)) -> Mesh:
+    """Closed triangulated torus with 2*nu*nv triangles (nu=nv=224 gives the
+    ~100k-triangle flagship benchmark mesh of BASELINE.json's north star).
+
+    Parametric (R + r cos v)(cos u, sin u, 0) + (0, 0, r sin v), CCW winding
+    with outward normals (watertight, genus 1 — a richer medial structure
+    than the icospheres)."""
+    u = np.arange(nu, dtype=np.float64) * (2.0 * np.pi / nu)
+    v = np.arange(nv, dtype=np.float64) * (2.0 * np.pi / nv)
+    uu, vv = np.meshgrid(u, v, indexing="ij")  # (nu, nv)
+    x = (R + r * np.cos(vv)) * np.cos(uu)
+    y = (R + r * np.cos(vv)) * np.sin(uu)
+    z = r * np.sin(vv)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    verts += np.asarray(center, np.float32)
+
+    iu = np.arange(nu)[:, None]
+    iv = np.arange(nv)[None, :]
+    a = (iu * nv + iv).ravel()
+    b = (((iu + 1) % nu) * nv + iv).ravel()
+    c = (iu * nv + (iv + 1) % nv).ravel()
+    d = (((iu + 1) % nu) * nv + (iv + 1) % nv).ravel()
+    tris = np.concatenate(
+        [np.stack([a, b, d], axis=-1), np.stack([a, d, c], axis=-1)], axis=0
+    ).astype(np.uint32)
+    return Mesh(verts, tris)

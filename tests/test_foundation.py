@@ -202,3 +202,21 @@ class TestNativeBinning:
         np.testing.assert_array_equal(bb.cand, ref.cand)
         np.testing.assert_array_equal(bb.cand_valid, ref.cand_valid)
         assert bb.tiles_dim == ref.tiles_dim
+
+
+class TestTorusMesh:
+    def test_flagship_size_and_watertight(self):
+        import numpy as np
+        from sdfgenfast_tpu.mesh import torus_mesh
+
+        m = torus_mesh()
+        assert m.num_tris == 100352  # BASELINE's "100k-triangle mesh"
+        m.validate_indices()
+        # watertight: every directed edge appears exactly once (its reverse
+        # closes the surface)
+        t = m.tris.astype(np.int64)
+        edges = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+        keys = edges[:, 0] * m.num_verts + edges[:, 1]
+        rev = edges[:, 1] * m.num_verts + edges[:, 0]
+        assert len(np.unique(keys)) == len(keys)
+        assert np.array_equal(np.sort(keys), np.sort(rev))
