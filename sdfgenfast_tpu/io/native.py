@@ -215,11 +215,16 @@ def parity_packed(verts: np.ndarray, tris: np.ndarray, origin, dx: float,
     return packed
 
 
-def crossings(verts: np.ndarray, tris: np.ndarray, origin, dx: float,
-              shape, cap: int = 8, num_threads: int = 0) -> Optional[np.ndarray]:
-    """Native exact-f64 x-ray crossing positions: ((cap, nj, nk) int16 with
-    sentinel 32767 padding, true max count); grows cap as needed. Returns
-    None when the native library (or the symbol) is unavailable."""
+def crossings(
+    verts: np.ndarray, tris: np.ndarray, origin, dx: float,
+    shape, cap: int = 8, num_threads: int = 0,
+) -> Optional[Tuple[np.ndarray, int]]:
+    """Native exact-f64 x-ray crossing positions: a ((cap, nj, nk) int16,
+    max_count) pair with sentinel 32767 padding; grows cap as needed.
+    Returns None when the native library (or the symbol) is unavailable.
+    Requires ni <= 32766 (crossing positions are int16)."""
+    if int(shape[0]) > 32766:
+        raise ValueError("crossings requires ni <= 32766 (int16 positions)")
     lib = _load()
     if lib is None or not hasattr(lib, "sdfgenio_crossings"):
         return None

@@ -72,8 +72,14 @@ class SDFGenerator:
 
     def train_step(self, verts, target_phi, lr=1e-2):
         """One SGD step on vertex positions. Under a device mesh the vertex
-        gradient is psum'd across shards by shard_map's transpose, overlapped
-        with the backward computation by XLA."""
+        gradient is psum'd across shards by shard_map's transpose (verified:
+        the optimized HLO of the compiled step contains the cross-shard
+        all-reduce — `tools/overlap_evidence.py` counts the collectives and
+        reports whether the backend emitted them as async start/done pairs
+        with compute scheduled inside the in-flight window; the CPU test
+        backend emits synchronous collectives, the TPU latency-hiding
+        scheduler emits async pairs, and no multi-chip slice is available
+        in this environment to wall-clock the overlap)."""
         return sgd_step(self, verts, target_phi, lr)
 
     def commit(self, verts: jnp.ndarray):

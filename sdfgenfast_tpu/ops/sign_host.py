@@ -47,10 +47,14 @@ def crossings_host(verts: np.ndarray, tris: np.ndarray, grid: GridSpec,
     parity(i, j, k) = XOR_c [i >= crossings(c, j, k)] — the exact prefix-XOR
     of the reference's intersection counting (cpu_lib/makelevelset3.cpp:
     295-303), but shipped to the device as a few compares worth of data
-    (~C/ni * 1/8 the bytes of the bit-packed parity field)."""
+    (~C/ni * 1/8 the bytes of the bit-packed parity field). An alternative
+    transport for bandwidth-constrained host links; the pipeline default is
+    the packed parity field, whose unpack is one fused device op."""
     from ..io import native
 
     ni, nj, nk = grid.shape
+    if ni > 32766:
+        raise ValueError("crossings_host requires ni <= 32766 (int16 positions)")
     out = None
     try:
         res = native.crossings(

@@ -79,3 +79,42 @@ def test_golden_parity(name):
     assert np.abs(err).max() < 0.2 * grid.dx, (
         f"far-field divergence {np.abs(err).max():.3e} exceeds 0.2*dx"
     )
+
+
+def test_sparse_golden_256_sphere6():
+    """256-class parity vs the reference binary, from the SPARSE golden
+    (tools/make_goldens.py --sparse-256): sign of EVERY cell, exact values
+    on the full near-band, 0.2dx far-field bound on a stride-4 subsample.
+    Proves the headline-size grid, where the far-field ladder gets deep."""
+    path = os.path.join(GOLDENS, "sphere6_stl_256_mode2a.sparse.npz")
+    if not os.path.exists(path):
+        pytest.skip("sparse 256 golden not generated (tools/make_goldens.py --sparse-256)")
+    g = np.load(path)
+    dims = tuple(int(v) for v in g["dims"])
+    bmin = g["bmin"]
+    dx = float(g["dx"])
+
+    mesh, mn, mx = mesh_io.load_mesh(os.path.join(RESOURCES, "icosphere6.stl"))
+    grid = sizing_mode2a_proportional(mn, mx, 256, 1)
+    assert grid.shape == dims, (grid.shape, dims)
+    np.testing.assert_allclose(grid.bounds_min, bmin, atol=2e-6)
+
+    phi = np.asarray(make_level_set3(mesh, grid, SDFConfig())).reshape(-1)
+
+    # sign of every cell
+    ref_neg = np.unpackbits(g["packed_signs"])[: phi.size].astype(bool)
+    surf = np.abs(phi) < 1e-5
+    mism = (ref_neg != (phi < 0)) & ~surf
+    assert mism.sum() == 0, f"{mism.sum()} sign mismatches"
+
+    # exact near band
+    band_idx = g["band_idx"]
+    np.testing.assert_allclose(
+        np.abs(phi[band_idx]), np.abs(g["band_val"]), rtol=5e-5, atol=2e-6
+    )
+
+    # far field on the stride-4 subsample
+    sample = g["far_sample_stride4"]
+    ours = phi.reshape(dims)[::4, ::4, ::4]
+    err = np.abs(np.abs(ours) - np.abs(sample))
+    assert err.max() < 0.2 * dx, f"far-field divergence {err.max():.3e}"

@@ -33,7 +33,13 @@ GOLDENS = os.path.join(REPO, "tests", "goldens")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref-binary", default="/tmp/refbuild/bin/SDFGen")
+    ap.add_argument("--sparse-256", action="store_true",
+                    help="only (re)generate the sparse 256-class golden")
     args = ap.parse_args()
+
+    if args.sparse_256:
+        make_sparse_golden_256(args.ref_binary)
+        return
 
     os.makedirs(RESOURCES, exist_ok=True)
     os.makedirs(GOLDENS, exist_ok=True)
@@ -105,6 +111,55 @@ def main():
     with open(os.path.join(GOLDENS, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     print("goldens written:", list(manifest))
+
+
+
+
+def make_sparse_golden_256(ref_binary="/tmp/refbuild/bin/SDFGen"):
+    """256-class golden for the 81,920-triangle sphere, stored SPARSE.
+
+    A full 256-cubed .sdf is 67 MB — too large to commit. The sparse form
+    keeps everything the parity test needs: the sign of EVERY cell (bit-
+    packed, 2 MB), the exact value of every near-band cell (|phi| < 2dx),
+    and a stride-4 subsample of the far field for the 0.2dx bound.
+    Usage: python tools/make_goldens.py --sparse-256
+    """
+    import numpy as np
+    from sdfgenfast_tpu.io import sdf_io
+
+    workdir = os.path.join("/tmp", "golden_work256")
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    shutil.copy(os.path.join(RESOURCES, "icosphere6.stl"),
+                os.path.join(workdir, "icosphere6.stl"))
+    cmd = [ref_binary, "icosphere6.stl", "256", "1", "1"]
+    print("::", " ".join(cmd))
+    out = subprocess.run(cmd, cwd=workdir, capture_output=True, text=True,
+                         timeout=3600)
+    if out.returncode != 0:
+        print(out.stdout)
+        print(out.stderr)
+        raise SystemExit("reference binary failed for sphere6_256")
+    produced = [f for f in os.listdir(workdir) if f.endswith(".sdf")]
+    assert len(produced) == 1, produced
+    phi, bmin, bmax = sdf_io.read_sdf(os.path.join(workdir, produced[0]))
+    ni = phi.shape[0]
+    dx = float((bmax[0] - bmin[0]) / ni)
+
+    signs = np.packbits((phi < 0).reshape(-1))
+    band = np.flatnonzero(np.abs(phi).reshape(-1) < 2 * dx).astype(np.int64)
+    band_val = phi.reshape(-1)[band]
+    sample = phi[::4, ::4, ::4].copy()
+    np.savez_compressed(
+        os.path.join(GOLDENS, "sphere6_stl_256_mode2a.sparse.npz"),
+        dims=np.asarray(phi.shape, np.int32),
+        bmin=bmin, bmax=bmax, dx=np.float64(dx),
+        packed_signs=signs, band_idx=band, band_val=band_val,
+        far_sample_stride4=sample,
+        reference_output_name=np.bytes_(produced[0]),
+    )
+    print("sparse 256 golden written:",
+          os.path.join(GOLDENS, "sphere6_stl_256_mode2a.sparse.npz"))
 
 
 if __name__ == "__main__":
