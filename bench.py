@@ -13,9 +13,9 @@ device compute, steady state after compile):
                   band + closest-point-jump-flood path.
   torus100k@256   a 100,352-triangle torus at the 256-class grid — the
                   north-star mesh size (BASELINE.json "100k-triangle mesh").
-  torus100k@512   the 512^3 wall-clock metric (BASELINE.json config 4);
-                  runs with a capped VDT stride ladder so round padding
-                  stays within HBM.
+  sphere82k@512   the 512^3 wall-clock metric (BASELINE.json config 4): a
+                  true 512-cubed grid, 134M cells.
+  torus100k@512   the 100k-triangle mesh at its proportional 512-class grid.
 
 Baseline anchor (BASELINE.md): 36.9M cells / 1.29 s on an RTX 4090 for the
 box at the 256-class grid ~= 28.6M voxels/s. vs_baseline numbers are
@@ -108,9 +108,12 @@ def main():
         ("box256", box, 256, SDFConfig(), 3),
         ("sphere82k_256", sphere, 256, SDFConfig(), 3),
         ("torus100k_256", torus, 256, SDFConfig(), 3),
-        # 512^3 wall-clock: capped stride ladder keeps the jump-flood round
-        # padding within HBM at 134M cells
-        ("torus100k_512", torus, 512, SDFConfig(vdt_max_hop=64), 2),
+        # BASELINE's 512^3 wall-clock metric: a true 512-cubed grid (134M
+        # cells, the sphere bbox is cubic) plus the flagship torus at its
+        # proportional 512-class grid. Axis-separated large-stride rounds
+        # keep the full jump-flood ladder within HBM at this size.
+        ("sphere82k_512", sphere, 512, SDFConfig(), 2),
+        ("torus100k_512", torus, 512, SDFConfig(), 2),
     ]
     wanted = set(sys.argv[1:])
     if wanted:

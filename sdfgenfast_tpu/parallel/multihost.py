@@ -138,9 +138,11 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
                 f"the sharded axes (min(nj_l, nk_l) = {min(nj_l, nk_l)})"
             )
         Dj, Dk = binned.dims
+        extra = cfg.vdt_extra_rounds
+        if extra is None:
+            extra = 2 if max(ni, nj_l * Dj, nk_l * Dk) <= 256 else 4
         strides = vdt_ops.stride_ladder(
-            max(ni, nj_l * Dj, nk_l * Dk), max_hop=cap,
-            extra_rounds=cfg.vdt_extra_rounds,
+            max(ni, nj_l * Dj, nk_l * Dk), max_hop=cap, extra_rounds=extra,
         )
     return _sharded_core(
         tv, b_ids, b_cand, b_valid, packed,

@@ -416,8 +416,11 @@ def sharded_sdf(
             )
         Dj, Dk = binned.dims
         gshape = (ni, nj_l * Dj, nk_l * Dk)
+        extra = cfg.vdt_extra_rounds
+        if extra is None:
+            extra = 2 if max(gshape) <= 256 else 4
         strides = vdt_ops.stride_ladder(
-            max(gshape), max_hop=cap, extra_rounds=cfg.vdt_extra_rounds
+            max(gshape), max_hop=cap, extra_rounds=extra
         )
     # concrete (non-traced) verts cannot be differentiated through anyway, so
     # the dense path may apply the sign directly instead of re-evaluating
