@@ -104,3 +104,20 @@ class TestShardedGradients:
         np.testing.assert_allclose(
             np.asarray(g_sharded), np.asarray(g_single), rtol=5e-3, atol=1e-4
         )
+
+
+class TestSharded512Class:
+    def test_512_class_halo_ladder_matches_single_device(self):
+        # BASELINE config 4's sharded-correctness analog on the virtual CPU
+        # mesh: 512-wide sharded axes (blocks 256x128 on the (2,4) mesh), so
+        # the capped jump-flood ladder runs deep halo exchanges; the i-axis
+        # is kept thin to make the CPU run affordable.
+        dmesh = _mesh_or_skip()
+        m = icosphere(3, radius=1.0, center=(0.03, -0.02, 0.01))
+        g = GridSpec((-1.25, -1.25, -1.25), 2.5 / 512, (8, 512, 512))
+        cfg = SDFConfig(tile2d_shape=(8, 8), tile_shape=(8, 8, 8),
+                        dense_max_tris=0, vdt_max_hop=32)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
