@@ -5,9 +5,10 @@ configurations plus BASELINE.json's flagship configs.
 Workloads (all timed as honest end-to-end: host binning + parity + upload +
 device compute, steady state after compile):
 
-  box64/128/256   the reference's own benchmark sweep — the bundled 3x4x5
-                  box STL at CLI mode-2a grids (tests/benchmark_performance
-                  .cpp:151,181-185); 36 triangles -> the dense Pallas path.
+  box64/128/256   the reference's own benchmark sweep — the 3x4x5 box at
+                  CLI mode-2a grids (tests/benchmark_performance.cpp:151,
+                  181-185), rebuilt with the reference STL's 36-triangle
+                  tessellation -> the dense Pallas path.
   sphere82k@256   icosphere(6), 81,920 triangles at the 256-class grid —
                   the bunny-class config (BASELINE.json config 3); binned
                   band + closest-point-jump-flood path.
@@ -93,13 +94,28 @@ def main():
         log(f"compilation cache unavailable: {e}")
 
     from sdfgenfast_tpu.grid import sizing_mode2a_proportional
-    from sdfgenfast_tpu.mesh import box_mesh, icosphere, torus_mesh
+    from sdfgenfast_tpu.mesh import Mesh, box_mesh, icosphere, torus_mesh
     from sdfgenfast_tpu.pipeline import SDFConfig
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
-    box = box_mesh((3, 4, 5), (-1, -1, -1))
+    def box36():
+        # the reference's benchmark STL box carries 36 triangles (SURVEY:
+        # tests/resources/test_x3y4z5_bin.stl); our writer emits 12. Split
+        # each face triangle 1->3 at its centroid so the dense kernel does
+        # the same per-cell work the RTX-4090 anchor paid for.
+        m = box_mesh((3, 4, 5), (-1, -1, -1))
+        cent = m.verts[m.tris].mean(axis=1).astype(np.float32)
+        nv = len(m.verts)
+        tris = []
+        for i, (a, b, c) in enumerate(m.tris):
+            d = nv + i
+            tris += [(a, b, d), (b, c, d), (c, a, d)]
+        return Mesh(np.concatenate([m.verts, cent]),
+                    np.asarray(tris, np.uint32))
+
+    box = box36()
     sphere = icosphere(6, radius=1.0)
     torus = torus_mesh()  # 100,352 triangles
 
