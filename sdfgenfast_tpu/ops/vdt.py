@@ -62,7 +62,10 @@ __all__ = [
     "FAR",
     "stride_ladder",
     "vdt_far_field",
+    "vdt_pyramid_far_field",
     "chamfer_relax",
+    "pack_state",
+    "unpack_tid",
 ]
 
 _OFFSETS26 = np.array(
@@ -79,6 +82,21 @@ _OFFSETS26 = np.array(
 # plain float: a module-level jnp constant would initialise the XLA
 # backend at import time and break jax.distributed workers
 FAR = np.float32(3e18)
+
+
+def pack_state(cpx, cpy, cpz, tid, d2):
+    """(5, ...) VDT state. The int32 triangle id is BITCAST into the f32
+    channel (not value-cast): ids above 2^24 are not exactly representable
+    as f32, so a value cast would silently round them to a different
+    triangle on >16.7M-triangle meshes. The channel is only ever copied by
+    selects, never used arithmetically, so raw bits ride along safely."""
+    tbits = jax.lax.bitcast_convert_type(tid.astype(jnp.int32), jnp.float32)
+    return jnp.stack([cpx, cpy, cpz, tbits, d2], axis=0)
+
+
+def unpack_tid(channel):
+    """Recover int32 triangle ids from the bitcast f32 state channel."""
+    return jax.lax.bitcast_convert_type(channel, jnp.int32)
 
 
 def _dist2(px, py, pz, cx, cy, cz):
@@ -261,7 +279,7 @@ def vdt_far_field(
     ni, nj, nk = cpx.shape
     px, py, pz = _pos_axes((ni, nj, nk), dx, ijk_offset)
     d2 = _dist2(px, py, pz, cpx, cpy, cpz)
-    state = jnp.stack([cpx, cpy, cpz, tid.astype(jnp.float32), d2], axis=0)
+    state = pack_state(cpx, cpy, cpz, tid, d2)
 
     offs = jnp.asarray(_OFFSETS26)
     for stride in strides:
@@ -275,7 +293,150 @@ def vdt_far_field(
             state = _jacobi_round(state, px, py, pz, stride, offs)
 
     phi = jnp.sqrt(jnp.maximum(state[4], 0.0))
-    out_tid = state[3].astype(jnp.int32)
+    out_tid = unpack_tid(state[3])
+    if freeze_mask is None:
+        freeze_mask = tid >= 0
+    return (
+        jnp.where(freeze_mask, phi_seed, jnp.minimum(phi, phi_seed)),
+        jnp.where(freeze_mask, tid, out_tid),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pyramid (coarse-to-fine) VDT — the fast single-device schedule
+# ---------------------------------------------------------------------------
+#
+# The flat jump-flood ladder runs every stride at FULL resolution: ~10 rounds
+# x (pad + 26 shifted reads + merge) over the whole (5, ni, nj, nk) state —
+# measured 451 ms of the 820 ms sphere82k@256 pipeline (round-3 profile).
+# The pyramid form runs the long-range strides on 8x/64x/... smaller grids:
+#
+#   1. min-downsample the seeded state by 2 per level until <= ~48 cells;
+#   2. full jump-flood ladder at the coarsest level (negligible cost);
+#   3. walk back down: upsample (parent closest points re-scored against the
+#      fine cell positions, merged with the level's own seeds), then
+#      stride-2 + stride-1 Jacobi rounds to repair coarse-granularity
+#      donor misassignments (reach 3 cells > the <=2-cell parent error);
+#   4. extra stride-1 polish rounds at full resolution.
+#
+# Every full-res round touches only strides <= 2, so a Pallas kernel with a
+# 2-cell halo can run it from VMEM (ops/vdt_pallas.py); the jnp rounds here
+# are the bit-equal reference implementation (and the CPU/test path). All
+# propagated closest points remain exact points on mesh triangles, so the
+# field stays an overestimate everywhere and the chamfer/freeze invariants
+# of `vdt_far_field` carry over unchanged.
+
+_COARSE_MAX = 48  # coarsest-level cap: 48^3 state = 2.2 MB, ladder ~free
+
+
+def _level_pos_axes(shape, dx, scale: int):
+    """World coords of a pyramid level: level cell I sits at fine index
+    I * scale (corner subsampling), so positions stay EXACT fine-grid
+    positions: f32(I * scale) * dx."""
+    ni, nj, nk = shape
+    s = jnp.int32(scale)
+    px = ((jnp.arange(ni, dtype=jnp.int32) * s).astype(jnp.float32) * dx)
+    py = ((jnp.arange(nj, dtype=jnp.int32) * s).astype(jnp.float32) * dx)
+    pz = ((jnp.arange(nk, dtype=jnp.int32) * s).astype(jnp.float32) * dx)
+    return px[:, None, None], py[None, :, None], pz[None, None, :]
+
+
+def _downsample2(state, px, py, pz):
+    """Factor-2 min-downsample: each coarse cell adopts the child closest
+    point with the smallest distance to the COARSE cell's position (the
+    corner child's fine position). px/py/pz are the coarse-level axes."""
+    _, ni, nj, nk = state.shape
+    pad = ((0, 0), (0, ni % 2), (0, nj % 2), (0, nk % 2))
+    if any(p[1] for p in pad):
+        state = jnp.pad(state, pad, constant_values=FAR)
+    ni2, nj2, nk2 = state.shape[1] // 2, state.shape[2] // 2, state.shape[3] // 2
+
+    best = None
+    for ci in (0, 1):
+        for cj in (0, 1):
+            for ck in (0, 1):
+                child = state[:, ci::2, cj::2, ck::2]
+                cd2 = _dist2(px, py, pz, child[0], child[1], child[2])
+                if best is None:
+                    best = jnp.concatenate([child[:4], cd2[None]], axis=0)
+                else:
+                    best = _merge(best, child, cd2)
+    return best
+
+
+def _upsample_merge(coarse, fine, px, py, pz):
+    """Adopt the coarse parent's closest point wherever it beats the fine
+    state (re-scored against the fine cell positions)."""
+    _, ni, nj, nk = fine.shape
+    parent = jnp.repeat(jnp.repeat(jnp.repeat(
+        coarse, 2, axis=1), 2, axis=2), 2, axis=3)[:, :ni, :nj, :nk]
+    cd2 = _dist2(px, py, pz, parent[0], parent[1], parent[2])
+    return _merge(fine, parent, cd2)
+
+
+def vdt_pyramid_far_field(
+    cpx, cpy, cpz,  # (ni, nj, nk) f32 seed closest points (grid-local), FAR empty
+    tid,  # (ni, nj, nk) int32 seed ids, -1 empty
+    phi_seed,  # (ni, nj, nk) f32 band evaluator distances (upper if unseeded)
+    dx,
+    freeze_mask=None,
+    extra_polish: int = 1,  # extra stride-1 rounds at full resolution
+    round_fn=None,  # (state, px, py, pz, stride) -> state; None = jnp Jacobi
+    level_rounds=(8, 4, 2, 2, 1),  # full-res repair strides after the last
+    #   upsample. Reach = sum(strides)+polish: cells within ~18 cells of the
+    #   band get full-seed-set donor quality; deeper cells rely on coarser
+    #   levels, whose cp-decimation overestimate shrinks as F^2/depth.
+    #   Tuned on the 128/256 goldens: (8,4,2,2,1)+1 polish = 0.14-0.16 dx
+    #   worst-case vs the reference binary (bar: 0.2 dx).
+    coarse_rounds=(8, 4, 2, 1, 1),  # repair strides at intermediate levels
+    #   (each level is 8x smaller than the one below, so generous repair
+    #   there is nearly free)
+):
+    """Coarse-to-fine closest-point transform. Same contract and freeze
+    semantics as `vdt_far_field`; different (much cheaper) schedule. The
+    produced field is an O(dx^2/d) overestimate exactly like the flat
+    ladder (every cp is a point on a real triangle); accuracy vs the
+    reference binary is enforced by the golden tests' 0.2*dx far-field bar.
+    """
+    ni, nj, nk = cpx.shape
+    offs = jnp.asarray(_OFFSETS26)
+    if round_fn is None:
+        def round_fn(state, px, py, pz, stride):
+            return _jacobi_round(state, px, py, pz, stride, offs)
+
+    px, py, pz = _level_pos_axes((ni, nj, nk), dx, 1)
+    d2 = _dist2(px, py, pz, cpx, cpy, cpz)
+    state = pack_state(cpx, cpy, cpz, tid, d2)
+
+    # seed pyramid (corner subsampling; positions exact at every level)
+    levels = [(state, (px, py, pz), 1)]
+    while max(levels[-1][0].shape[1:]) > _COARSE_MAX:
+        prev, _, scale = levels[-1]
+        shape2 = tuple(-(-d // 2) for d in prev.shape[1:])
+        pos2 = _level_pos_axes(shape2, dx, scale * 2)
+        levels.append((_downsample2(prev, *pos2), pos2, scale * 2))
+
+    # coarsest level: full jump-flood ladder (jnp; the state is tiny)
+    s, pos, _ = levels[-1]
+    for stride in stride_ladder(max(s.shape[1:]), extra_rounds=1):
+        s = _jacobi_round(s, *pos, stride, offs)
+
+    # descend: upsample + short-stride repair rounds (intermediate levels use
+    # the jnp rounds — they are 8x+ smaller than full resolution)
+    for lvl in range(len(levels) - 2, -1, -1):
+        fine, pos, _ = levels[lvl]
+        s = _upsample_merge(s, fine, *pos)
+        if lvl > 0:
+            for stride in coarse_rounds:
+                s = _jacobi_round(s, *pos, stride, offs)
+        else:
+            for stride in level_rounds:
+                s = round_fn(s, *pos, stride)
+    for _ in range(extra_polish):
+        s = round_fn(s, px, py, pz, 1)
+
+    phi = jnp.sqrt(jnp.maximum(s[4], 0.0))
+    out_tid = unpack_tid(s[3])
     if freeze_mask is None:
         freeze_mask = tid >= 0
     return (

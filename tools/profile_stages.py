@@ -101,6 +101,9 @@ def run_e2e(mesh, grid, cfg, binned):
 def profile(nx, mesh_name="box", force_tiled=False):
     if mesh_name == "box":
         mesh = box_mesh((3, 4, 5), (-1, -1, -1))
+    elif mesh_name == "torus":
+        from sdfgenfast_tpu.mesh import torus_mesh
+        mesh = torus_mesh()
     else:
         mesh = icosphere(6, radius=1.0)
     mn, mx = mesh.bounds()
@@ -158,9 +161,11 @@ def profile(nx, mesh_name="box", force_tiled=False):
         for r in cp_rows
     )
 
+    extra = cfg.vdt_extra_rounds
+    if extra is None:  # the pipeline's auto policy (pipeline.py)
+        extra = 2 if max(grid.shape) <= 256 else 4
     strides = vdt_ops.stride_ladder(
-        max(grid.shape), max_hop=cfg.vdt_max_hop,
-        extra_rounds=cfg.vdt_extra_rounds,
+        max(grid.shape), max_hop=cfg.vdt_max_hop, extra_rounds=extra,
     )
     vdt = jax.jit(partial(vdt_ops.vdt_far_field, strides=strides))
     print(f"    (VDT strides {strides})")
@@ -177,7 +182,8 @@ def profile(nx, mesh_name="box", force_tiled=False):
 
 if __name__ == "__main__":
     sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [256]
-    mesh_name = "sphere" if "sphere" in sys.argv else "box"
+    mesh_name = ("torus" if "torus" in sys.argv
+                 else "sphere" if "sphere" in sys.argv else "box")
     force_honest_timing()
     for nx in sizes:
         profile(nx, mesh_name, force_tiled="tiled" in sys.argv)
