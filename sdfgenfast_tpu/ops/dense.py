@@ -282,13 +282,11 @@ def dense_distance_field(tri_verts, origin, dx, *, grid_shape, ijk_offset=None,
     """
     if interpret is None:
         # Mosaic targets real TPUs only; interpret everywhere else (tests
-        # run on the forced-CPU backend, and api.generate_sdf(backend="cpu")
-        # pins the CPU device via jax.default_device while the global
-        # backend stays TPU). Resolved here, outside jit, so the jit cache
-        # key reflects the actual mode.
-        dev = getattr(jax.config, "jax_default_device", None)
-        plat = dev.platform if dev is not None else jax.default_backend()
-        interpret = plat not in ("tpu", "axon")
+        # run on the forced-CPU backend). Resolved here, outside jit, so the
+        # jit cache key reflects the actual mode (see platform.py).
+        from ..platform import is_tpu_platform
+
+        interpret = not is_tpu_platform()
     if ijk_offset is None:
         ijk_offset = jnp.zeros((3,), jnp.int32)
     return _dense_impl(tri_verts, origin, dx, ijk_offset,

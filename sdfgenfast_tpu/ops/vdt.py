@@ -341,27 +341,56 @@ def _level_pos_axes(shape, dx, scale: int):
     return px[:, None, None], py[None, :, None], pz[None, None, :]
 
 
-def _downsample2(state, px, py, pz):
+def _downsample2(state, dx, fine_scale):
     """Factor-2 min-downsample: each coarse cell adopts the child closest
-    point with the smallest distance to the COARSE cell's position (the
-    corner child's fine position). px/py/pz are the coarse-level axes."""
+    point with the smallest re-scored distance to the coarse cell's
+    position (the corner child's fine position).
+
+    Three axis-wise pairwise tournaments instead of eight strided 3-D
+    slices: the 8-slice form made XLA re-walk the full state once per child
+    (measured 359 ms at 256-class); the halving passes read each element
+    once per axis (~1/6 the traffic). Each pass re-scores both children
+    against the position that is coarse in the axes merged so far and fine
+    in the rest — after the k pass that is exactly the coarse corner
+    position. The k (lane) pass pairs neighbors via a reshape split, not a
+    lane-strided slice."""
     _, ni, nj, nk = state.shape
     pad = ((0, 0), (0, ni % 2), (0, nj % 2), (0, nk % 2))
     if any(p[1] for p in pad):
         state = jnp.pad(state, pad, constant_values=FAR)
-    ni2, nj2, nk2 = state.shape[1] // 2, state.shape[2] // 2, state.shape[3] // 2
 
-    best = None
-    for ci in (0, 1):
-        for cj in (0, 1):
-            for ck in (0, 1):
-                child = state[:, ci::2, cj::2, ck::2]
-                cd2 = _dist2(px, py, pz, child[0], child[1], child[2])
-                if best is None:
-                    best = jnp.concatenate([child[:4], cd2[None]], axis=0)
-                else:
-                    best = _merge(best, child, cd2)
-    return best
+    def axis_pos(n, scale, which):
+        v = ((jnp.arange(n, dtype=jnp.int32) * jnp.int32(scale))
+             .astype(jnp.float32) * dx)
+        shape = [1, 1, 1]
+        shape[which] = n
+        return v.reshape(shape)
+
+    def pair_merge(a, b, pos):
+        # keep the child whose cp is closer to the even-child position
+        da = _dist2(*pos, a[0], a[1], a[2])
+        best = jnp.concatenate([a[:4], da[None]], axis=0)
+        db = _dist2(*pos, b[0], b[1], b[2])
+        return _merge(best, b, db)
+
+    f, c = fine_scale, 2 * fine_scale
+    ni2, nj2, nk2 = state.shape[1] // 2, state.shape[2] // 2, state.shape[3] // 2
+    state = pair_merge(
+        state[:, 0::2], state[:, 1::2],
+        (axis_pos(ni2, c, 0), axis_pos(state.shape[2], f, 1),
+         axis_pos(state.shape[3], f, 2)),
+    )
+    state = pair_merge(
+        state[:, :, 0::2], state[:, :, 1::2],
+        (axis_pos(ni2, c, 0), axis_pos(nj2, c, 1),
+         axis_pos(state.shape[3], f, 2)),
+    )
+    pairs = state.reshape(5, ni2, nj2, nk2, 2)
+    state = pair_merge(
+        pairs[..., 0], pairs[..., 1],
+        (axis_pos(ni2, c, 0), axis_pos(nj2, c, 1), axis_pos(nk2, c, 2)),
+    )
+    return state
 
 
 def _upsample_merge(coarse, fine, px, py, pz):
@@ -381,7 +410,10 @@ def vdt_pyramid_far_field(
     dx,
     freeze_mask=None,
     extra_polish: int = 1,  # extra stride-1 rounds at full resolution
-    round_fn=None,  # (state, px, py, pz, stride) -> state; None = jnp Jacobi
+    use_pallas: bool = False,  # run rounds through the Pallas kernel
+    #   (ops/vdt_pallas.py) — bit-equal to the jnp rounds, ~5x faster on a
+    #   real chip; must stay False off-TPU (Mosaic only targets TPUs)
+    round_fn=None,  # custom (state, px, py, pz, stride) -> state override
     level_rounds=(8, 4, 2, 2, 1),  # full-res repair strides after the last
     #   upsample. Reach = sum(strides)+polish: cells within ~18 cells of the
     #   band get full-seed-set donor quality; deeper cells rely on coarser
@@ -400,9 +432,27 @@ def vdt_pyramid_far_field(
     """
     ni, nj, nk = cpx.shape
     offs = jnp.asarray(_OFFSETS26)
-    if round_fn is None:
-        def round_fn(state, px, py, pz, stride):
-            return _jacobi_round(state, px, py, pz, stride, offs)
+
+    def jnp_phase(state, strides, scale):
+        pos = _level_pos_axes(state.shape[1:], dx, scale)
+        for stride in strides:
+            state = _jacobi_round(state, *pos, stride, offs)
+        return state
+
+    if round_fn is not None:
+        def phase(state, strides, scale):
+            pos = _level_pos_axes(state.shape[1:], dx, scale)
+            for stride in strides:
+                state = round_fn(state, *pos, stride)
+            return state
+    elif use_pallas:
+        from .vdt_pallas import pallas_round_phase
+
+        def phase(state, strides, scale):
+            # falls back to the (bit-equal) jnp rounds for tiny levels
+            return pallas_round_phase(state, dx, strides, scale)
+    else:
+        phase = jnp_phase
 
     px, py, pz = _level_pos_axes((ni, nj, nk), dx, 1)
     d2 = _dist2(px, py, pz, cpx, cpy, cpz)
@@ -414,26 +464,22 @@ def vdt_pyramid_far_field(
         prev, _, scale = levels[-1]
         shape2 = tuple(-(-d // 2) for d in prev.shape[1:])
         pos2 = _level_pos_axes(shape2, dx, scale * 2)
-        levels.append((_downsample2(prev, *pos2), pos2, scale * 2))
+        levels.append((_downsample2(prev, dx, scale), pos2, scale * 2))
 
-    # coarsest level: full jump-flood ladder (jnp; the state is tiny)
-    s, pos, _ = levels[-1]
-    for stride in stride_ladder(max(s.shape[1:]), extra_rounds=1):
-        s = _jacobi_round(s, *pos, stride, offs)
+    # coarsest level: full jump-flood ladder (the state is tiny)
+    s, pos, scale_c = levels[-1]
+    ladder = [x for x in stride_ladder(max(s.shape[1:]), extra_rounds=1)]
+    big = tuple(x for x in ladder if x > 8)
+    s = jnp_phase(s, big, scale_c)  # strides > 8: jnp (kernel j-halo is 8)
+    s = phase(s, tuple(x for x in ladder if x <= 8), scale_c)
 
-    # descend: upsample + short-stride repair rounds (intermediate levels use
-    # the jnp rounds — they are 8x+ smaller than full resolution)
+    # descend: upsample + short-stride repair rounds
     for lvl in range(len(levels) - 2, -1, -1):
-        fine, pos, _ = levels[lvl]
+        fine, pos, scale_l = levels[lvl]
         s = _upsample_merge(s, fine, *pos)
-        if lvl > 0:
-            for stride in coarse_rounds:
-                s = _jacobi_round(s, *pos, stride, offs)
-        else:
-            for stride in level_rounds:
-                s = round_fn(s, *pos, stride)
-    for _ in range(extra_polish):
-        s = round_fn(s, px, py, pz, 1)
+        rounds = coarse_rounds if lvl > 0 else (
+            tuple(level_rounds) + (1,) * extra_polish)
+        s = phase(s, rounds, scale_l)
 
     phi = jnp.sqrt(jnp.maximum(s[4], 0.0))
     out_tid = unpack_tid(s[3])

@@ -1,0 +1,210 @@
+"""Pallas TPU kernels for 26-offset Jacobi VDT rounds.
+
+The jnp reference round (``ops/vdt._jacobi_round``) pads the full (5, ni, nj,
+nk) state and re-reads it once per offset: ~26 full passes over HBM per round
+— measured ~150 ms per full-resolution round at 256-class grids, the single
+largest cost of the pyramid schedule. This kernel streams each (i, j) block
+(plus halos) into VMEM ONCE and evaluates all 26 candidates from registers:
+per-round HBM traffic drops to ~(2-6)x the state size (halo overlap) + 1x
+write — a large reduction, and the candidate math runs from VMEM.
+
+Bit-equality with the jnp round (asserted by tests/test_vdt_pallas.py on the
+real chip): candidate visit order, the `_dist2` operation order, and the
+strict `<` merge are identical; out-of-bounds candidates are masked to +inf
+here where the jnp round reads FAR-padded cells (squared distance ~2.7e37) —
+both strictly lose every comparison, so adopted values agree bitwise.
+
+Mosaic constraint shaping (probed on the chip):
+  * DMA source slices on the SUBLANE dim (dim 2, j) need offsets provably
+    divisible by 8 — affine-in-program-id or `pl.multiple_of` values pass.
+    The j halo is therefore a fixed 8 (>= any supported stride) and all j
+    strip sources are 8-aligned; edge strips clamp to in-bounds rows that
+    the global-validity mask then invalidates (exactly where the jnp round
+    reads FAR pads).
+  * The i dim (dim 1) is untiled: fully dynamic clamped offsets are legal
+    for both DMA sources and VMEM destinations. The scratch holds BI+4s
+    rows with the FIXED mapping scratch row x <-> global i0-2s+x; the
+    clamped window lands at a dynamic destination offset so every in-kernel
+    read is a STATIC slice. Scratch rows the window does not cover map to
+    out-of-grid globals, which the validity mask excludes.
+  * Static unaligned sublane slices of VMEM vector loads are legal, so
+    in-kernel candidate reads use static offsets.
+  * DMA destination lane offsets must be 128-aligned, so the scratch holds
+    exactly nk lanes (no k halo): k-offset candidates are produced by an
+    in-register lane rotate (pltpu.roll) whose wrapped lanes the validity
+    mask invalidates. The state needs no halo storage in HBM.
+
+Grid-shape contract: the kernel requires ni % BI == 0 and nj % BJ == 0 (a
+ragged last i block would misalign DMA'd rows against out rows).
+``pallas_round_phase`` pads once with FAR cells around a whole sequence of
+rounds (FAR donors lose every comparison, so the crop is exact) — padding
+per round would cost a full-state copy each time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .vdt import FAR, _OFFSETS26, _dist2
+
+__all__ = ["pallas_jacobi_round", "pallas_round_phase", "supports_pallas_round"]
+
+_INF = np.float32(np.inf)
+_HJ = 8   # j halo width: the sublane tile (alignment unit) >= max stride
+_BI = 16
+_BJ = 16
+_MAX_STRIDE = 8
+
+
+def supports_pallas_round(shape, max_stride: int) -> bool:
+    _, ni, nj, nk = (0, *shape) if len(shape) == 3 else shape
+    return (
+        max_stride <= _MAX_STRIDE
+        and ni >= _BI + 2 * max_stride
+        and nj >= _BJ + 2 * _HJ
+        and nk >= 32  # lane-padding a very shallow k wastes >4x the work
+    )
+
+
+def _round_kernel(dx_ref, state_ref, out_ref, scratch, sems, *, stride,
+                  ni, nj, nk, scale):
+    s = stride
+    BI, BJ = _BI, _BJ
+    WI = BI + 2 * s
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    dxf = dx_ref[0]
+
+    i0 = bi * BI
+    j0 = bj * BJ
+    # one clamped i window (untiled dim: dynamic offsets legal); scratch
+    # row x holds global i0 - 2s + x, so the window [si, si+WI) lands at
+    # destination offset si - i0 + 2s (in [0, 2s])
+    si = jnp.clip(i0 - s, 0, ni - WI)
+    dst_i = si - i0 + 2 * s
+    # j strips: sublane dim -> sources must be provably 8-aligned
+    strips_j = (  # (dst offset, length, src start)
+        (0, _HJ, pl.multiple_of(jnp.clip(j0 - _HJ, 0, nj - _HJ), 8)),
+        (_HJ, BJ, j0),
+        (_HJ + BJ, _HJ, pl.multiple_of(jnp.clip(j0 + BJ, 0, nj - _HJ), 8)),
+    )
+    copies = [
+        pltpu.make_async_copy(
+            state_ref.at[:, pl.ds(si, WI), pl.ds(sj_, lj), :],
+            scratch.at[:, pl.ds(dst_i, WI), pl.ds(dj_, lj), :],
+            sems.at[b],
+        )
+        for b, (dj_, lj, sj_) in enumerate(strips_j)
+    ]
+    for c in copies:
+        c.start()
+
+    # cell world positions (pyramid level `scale`): f32(index * scale) * dx
+    gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (BI, 1, 1), 0)
+    gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, BJ, 1), 1)
+    gk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nk), 2)
+    px = (gi * scale).astype(jnp.float32) * dxf
+    py = (gj * scale).astype(jnp.float32) * dxf
+    pz = (gk * scale).astype(jnp.float32) * dxf
+
+    for c in copies:
+        c.wait()
+
+    best = scratch[:, 2 * s:2 * s + BI, _HJ:_HJ + BJ, :]
+
+    for oi, oj, ok in _OFFSETS26.tolist():
+        a = 2 * s + oi * s  # static: in [s, 3s]
+        b = _HJ + oj * s
+        cand = scratch[:, a:a + BI, b:b + BJ, :]
+        if ok:
+            # k-offset via lane rotate (shift must be non-negative; rotating
+            # by nk - d rotates left by d); wrapped lanes are masked below
+            cand = pltpu.roll(cand, (-ok * s) % nk, axis=3)
+        cd2 = _dist2(px, py, pz, cand[0], cand[1], cand[2])
+        # candidates beyond the grid don't exist: the jnp round reads FAR
+        # pads there (cd2 ~ 2.7e37, never adopted); mask to +inf
+        gci = gi + oi * s
+        gcj = gj + oj * s
+        gck = gk + ok * s
+        valid = ((gci >= 0) & (gci < ni) & (gcj >= 0) & (gcj < nj)
+                 & (gck >= 0) & (gck < nk))
+        cd2 = jnp.where(valid, cd2, _INF)
+        better = cd2 < best[4]
+        upd = jnp.concatenate([cand[:4], cd2[None]], axis=0)
+        best = jnp.where(better[None], upd, best)
+
+    out_ref[:] = best
+
+
+def _call_round(state, dx, stride: int, scale: int, interpret: bool):
+    """One round on a block-aligned state (ni % BI == 0, nj % BJ == 0)."""
+    _, ni, nj, nk = state.shape
+    return pl.pallas_call(
+        partial(_round_kernel, stride=stride, ni=ni, nj=nj, nk=nk,
+                scale=scale),
+        grid=(ni // _BI, nj // _BJ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (5, _BI, _BJ, nk), lambda bi, bj: (0, bi, bj, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((5, ni, nj, nk), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((5, _BI + 4 * stride, _BJ + 2 * _HJ, nk), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the 26-way unrolled merge chain peaks above the 16 MB scoped
+            # default (window + best + per-offset temps); the physical VMEM
+            # budget on v5e+ is far larger
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(dx, jnp.float32).reshape(1), state)
+
+
+def pallas_round_phase(state, dx, strides, scale: int = 1,
+                       interpret: bool = False):
+    """Run a sequence of Jacobi rounds, padding to block multiples ONCE.
+
+    Pad cells hold FAR closest points: as donors they lose every comparison
+    (the validity mask also excludes them), and their own contents are
+    cropped, so results equal the jnp rounds on the unpadded state bitwise.
+    """
+    from .vdt import _jacobi_round, _level_pos_axes
+
+    _, ni, nj, nk = state.shape
+    if not supports_pallas_round(state.shape, max(strides)):
+        pos = _level_pos_axes((ni, nj, nk), dx, scale)
+        offs = jnp.asarray(_OFFSETS26)
+        for s in strides:
+            state = _jacobi_round(state, *pos, s, offs)
+        return state
+
+    ni_p = -(-ni // _BI) * _BI
+    nj_p = -(-nj // _BJ) * _BJ
+    nk_p = -(-nk // 128) * 128  # lane alignment (e.g. the torus' 75-deep k)
+    padded = state
+    if (ni_p, nj_p, nk_p) != (ni, nj, nk):
+        padded = jnp.pad(
+            state,
+            ((0, 0), (0, ni_p - ni), (0, nj_p - nj), (0, nk_p - nk)),
+            constant_values=FAR,
+        )
+    for s in strides:
+        padded = _call_round(padded, dx, s, scale, interpret)
+    return padded[:, :ni, :nj, :nk]
+
+
+def pallas_jacobi_round(state, dx, stride: int, scale: int = 1,
+                        interpret: bool = False):
+    """Single-round convenience wrapper over `pallas_round_phase`."""
+    return pallas_round_phase(state, dx, (stride,), scale, interpret)

@@ -30,6 +30,7 @@ import numpy as np
 
 from .grid import GridSpec
 from .mesh import Mesh
+from .platform import is_tpu_platform
 from .ops import band as band_ops
 from .ops import dense as dense_ops
 from .ops import vdt as vdt_ops
@@ -225,13 +226,14 @@ def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None,
     static_argnames=(
         "grid_shape", "tile_shape", "tiles_dim", "strides",
         "chamfer_passes", "band_chunk", "seed_band", "jacobi", "apply_sign",
-        "pyramid", "extra_polish",
+        "pyramid", "extra_polish", "use_pallas",
     ),
 )
 def _exact_core(
     tri_verts, band_ids, band_cand, band_valid, parity_packed, origin, dx,
     *, grid_shape, tile_shape, tiles_dim, strides, chamfer_passes,
-    band_chunk, seed_band, jacobi, apply_sign, pyramid=False, extra_polish=1,
+    band_chunk, seed_band, jacobi, apply_sign, pyramid=False, extra_polish=2,
+    use_pallas=False,
 ):
     """The default single-program pipeline for binned meshes.
 
@@ -284,21 +286,15 @@ def _exact_core(
 
     freeze = (tid0 >= 0) & (phi0 <= jnp.float32(seed_band) * dx)
     if pyramid:
+        # (A per-cell exact re-evaluation from the winning tid would tighten
+        # the far field further — 0.16 -> 0.14 dx on the goldens — but the
+        # XLA gather it needs measured 1.1 s at 256-class on the real chip,
+        # dwarfing the whole pipeline. The differentiable path still pays it
+        # in `_recompute_stage`, where gradient flow requires it anyway.)
         phi, tid = vdt_ops.vdt_pyramid_far_field(
             cpx, cpy, cpz, tid0, phi0, dx, freeze_mask=freeze,
-            extra_polish=extra_polish,
+            extra_polish=extra_polish, use_pallas=use_pallas,
         )
-        # Exact re-evaluation from the winning triangle id: wherever the
-        # pyramid's decimated donor carried the RIGHT triangle but a
-        # slightly-off closest point (the dominant error mode, O(F^2/depth)),
-        # this collapses the error to zero; where the triangle itself is a
-        # near-tie loser it still only tightens (distance to a real triangle
-        # >= true distance). Halves the worst-case far-field error on the
-        # 128/256 goldens (0.26 -> 0.14 dx).
-        upper_f = (jnp.float32(ni + nj + nk)) * dx
-        phi_r = _recompute_phi(tri_verts, tid, jnp.zeros_like(freeze),
-                               origin, dx, upper_f)
-        phi = jnp.where(freeze, phi0, jnp.minimum(phi, phi_r))
     else:
         phi, tid = vdt_ops.vdt_far_field(
             cpx, cpy, cpz, tid0, phi0, dx, strides, freeze_mask=freeze,
@@ -423,7 +419,7 @@ def sdf_from_tri_verts(
             strides=strides, chamfer_passes=chamfer_passes,
             band_chunk=band_chunk, seed_band=seed_band,
             jacobi=vdt_max_hop is not None, apply_sign=fuse_sign,
-            pyramid=pyramid,
+            pyramid=pyramid, use_pallas=pyramid and is_tpu_platform(),
         )
         if fuse_sign:
             return phi, tid
