@@ -288,6 +288,17 @@ def tile_candidate_rows(
     return phi_rows[:A], tid_rows[:A]
 
 
+def untile_rows(rows, tile_shape, tiles_dim, grid_shape):
+    """(T, C) tile rows -> dense (ni, nj, nk) grid (pure reshape+transpose,
+    no scatter — for kernels that emit rows for EVERY tile)."""
+    ni, nj, nk = grid_shape
+    nti, ntj, ntk = tiles_dim
+    ti, tj, tk = tile_shape
+    x = rows.reshape(nti, ntj, ntk, ti, tj, tk)
+    x = x.transpose(0, 3, 1, 4, 2, 5).reshape(nti * ti, ntj * tj, ntk * tk)
+    return x[:ni, :nj, :nk]
+
+
 def scatter_rows(rows, active_ids, fill, tile_shape, tiles_dim, grid_shape):
     """(A, C) rows -> one dense (ni, nj, nk) grid via contiguous row scatter.
 

@@ -208,3 +208,126 @@ def pallas_jacobi_round(state, dx, stride: int, scale: int = 1,
                         interpret: bool = False):
     """Single-round convenience wrapper over `pallas_round_phase`."""
     return pallas_round_phase(state, dx, (stride,), scale, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Chamfer (min-plus Lipschitz relaxation) kernel
+# ---------------------------------------------------------------------------
+
+_CBI, _CBJ = 32, 16
+
+
+def _chamfer_kernel(steps_ref, phi_ref, out_ref, scratch, sems, *,
+                    passes, ni, nj, nk):
+    """All `passes` 26-offset min-plus passes in ONE kernel: the window halo
+    is `passes` deep, each in-kernel pass consumes one ring (cells within
+    the remaining ring see their complete neighborhoods, so the core block
+    equals the global pass sequence bitwise). Same scratch geometry as the
+    VDT round kernel: scratch row x <-> global i0 - 2p + x."""
+    p = passes
+    BI, BJ = _CBI, _CBJ
+    WI = BI + 2 * p       # DMA'd i rows
+    VI = BI + 2 * p       # working window i size
+    VJ = BJ + 2 * p
+    bi = pl.program_id(0)
+    bj = pl.program_id(1)
+    big = jnp.float32(3e38)
+
+    i0 = bi * BI
+    j0 = bj * BJ
+    si = jnp.clip(i0 - p, 0, ni - WI)
+    dst_i = si - i0 + 2 * p  # in [p, 2p]
+    strips_j = (
+        (0, _HJ, pl.multiple_of(jnp.clip(j0 - _HJ, 0, nj - _HJ), 8)),
+        (_HJ, BJ, j0),
+        (_HJ + BJ, _HJ, pl.multiple_of(jnp.clip(j0 + BJ, 0, nj - _HJ), 8)),
+    )
+    copies = [
+        pltpu.make_async_copy(
+            phi_ref.at[pl.ds(si, WI), pl.ds(sj_, lj), :],
+            scratch.at[pl.ds(dst_i, WI), pl.ds(dj_, lj), :],
+            sems.at[b],
+        )
+        for b, (dj_, lj, sj_) in enumerate(strips_j)
+    ]
+    for c in copies:
+        c.start()
+
+    # globals of the working window (scratch rows [p, p+VI), j [_HJ-p, ..))
+    gi = i0 - p + jax.lax.broadcasted_iota(jnp.int32, (VI, 1, 1), 0)
+    gj = j0 - p + jax.lax.broadcasted_iota(jnp.int32, (1, VJ, 1), 1)
+    for c in copies:
+        c.wait()
+
+    # mask window cells outside the grid to BIG (the jnp pass pads with
+    # BIG) and write back, so per-offset REF slices see masked values.
+    # Candidate slices read one row/col beyond the masked window at the
+    # extreme offsets; those garbage reads only ever reach ring-r cells
+    # whose pass-(r+1) values are discarded (halo = passes), exactly the
+    # shrinking-validity argument of the VDT round kernel.
+    inb = (gi >= 0) & (gi < ni) & (gj >= 0) & (gj < nj)
+    w = jnp.where(inb, scratch[p:p + VI, _HJ - p:_HJ - p + VJ, :], big)
+    scratch[p:p + VI, _HJ - p:_HJ - p + VJ, :] = w
+
+    gk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nk), 2)
+    for step in range(passes):
+        acc = w
+        for m, (oi, oj, ok) in enumerate(_OFFSETS26.tolist()):
+            cand = scratch[p + oi:p + oi + VI,
+                           _HJ - p + oj:_HJ - p + oj + VJ, :]
+            if ok:
+                # k-shift via lane rotate; wrapped lanes masked below
+                cand = pltpu.roll(cand, (-ok) % nk, axis=2)
+                kv = (gk + ok >= 0) & (gk + ok < nk)
+                cand = jnp.where(kv, cand, big)
+            acc = jnp.minimum(acc, cand + steps_ref[m])
+        w = acc
+        if step + 1 < passes:
+            scratch[p:p + VI, _HJ - p:_HJ - p + VJ, :] = w
+
+    out_ref[:] = w[p:p + BI, p:p + BJ, :]
+
+
+def pallas_chamfer(phi, dx, passes: int = 2, interpret: bool = False):
+    """26-offset min-plus relaxation, `passes` passes fused in one kernel.
+
+    Bit-equal to ops/vdt.chamfer_relax (same offset order, same min/add
+    sequence); falls back to it for unsupported shapes.
+    """
+    from .vdt import chamfer_relax
+
+    ni, nj, nk = phi.shape
+    if (passes > 4 or ni < _CBI + 2 * passes or nj < _CBJ + 2 * _HJ
+            or nk < 32):
+        return chamfer_relax(phi, dx, passes=passes)
+    nj_p = -(-nj // _CBJ) * _CBJ
+    ni_p = -(-ni // _CBI) * _CBI
+    nk_p = -(-nk // 128) * 128
+    padded = phi
+    if (ni_p, nj_p, nk_p) != (ni, nj, nk):
+        padded = jnp.pad(
+            phi, ((0, ni_p - ni), (0, nj_p - nj), (0, nk_p - nk)),
+            constant_values=np.float32(3e38))
+    steps = (np.sqrt((_OFFSETS26.astype(np.float64) ** 2).sum(-1))
+             .astype(np.float32))
+    steps = jnp.asarray(steps) * jnp.asarray(dx, jnp.float32)
+    out = pl.pallas_call(
+        partial(_chamfer_kernel, passes=passes, ni=ni_p, nj=nj_p, nk=nk_p),
+        grid=(ni_p // _CBI, nj_p // _CBJ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (_CBI, _CBJ, nk_p), lambda bi, bj: (bi, bj, 0)),
+        out_shape=jax.ShapeDtypeStruct((ni_p, nj_p, nk_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_CBI + 4 * passes, _CBJ + 2 * _HJ, nk_p),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(steps, padded)
+    return out[:ni, :nj, :nk]

@@ -96,13 +96,22 @@ class Binned:
     sign: Optional[sign_ops.SignBinning]
     tris: np.ndarray  # (M, 3) int32
     parity_packed: Optional[np.ndarray] = None  # host-mode parity, packbits(i)
+    # CSR candidate layout for the Pallas band kernel (ops/band_pallas.py):
+    # pair ids (P,), per-active-tile offsets/counts (A_pad,), both padded to
+    # jit-stable buckets; kcap = static per-tile DMA window (max count)
+    band_csr: Optional[dict] = None
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
-    """Round up to a coarse bucket to bound jit recompilations."""
+def _bucket(n: int, minimum: int = 64, shift: int = 4) -> int:
+    """Round up to a coarse bucket to bound jit recompilations.
+
+    `shift` sets the granularity (quantum = 2^(bits-shift)): 4 keeps padding
+    waste under ~6% — round-3 used shift 2, whose up-to-33% padding was pure
+    wasted band work (sphere82k: A 9097 -> 12288).
+    """
     if n <= minimum:
         return minimum
-    p = 1 << (int(n - 1).bit_length() - 2)
+    p = 1 << max(int(n - 1).bit_length() - shift, 3)
     return -(-n // p) * p
 
 
@@ -144,10 +153,25 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
             np.pad(b.cand_valid, ((0, pad), (0, 0))),
         )
 
+    def build_csr(bb):
+        from .ops import band_pallas
+        pair, off, cnt = band_pallas.band_csr_from_binning(
+            bb.cand, bb.cand_valid, int(len(mesh.tris))
+        )
+        A_pad = _bucket(bb.num_active)
+        off = np.pad(off, (0, A_pad - len(off)))
+        cnt = np.pad(cnt, (0, A_pad - len(cnt)))
+        P_pad = _bucket(len(pair), minimum=128)  # quantum 1/16: <6% pad
+        pair = np.pad(pair, (0, P_pad - len(pair)),
+                      constant_values=len(mesh.tris))
+        kcap = max(-(-int(cnt.max() or 1) // 64) * 64, 64)
+        return {"pair": pair, "off": off, "cnt": cnt, "kcap": kcap}
+
     if config.sign_mode == "host":
         packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
         return Binned(grid, config, pad_band(bb), None,
-                      mesh.tris.astype(np.int32), packed)
+                      mesh.tris.astype(np.int32), packed,
+                      band_csr=build_csr(bb))
     elif config.sign_mode != "device":
         raise ValueError(f"unknown sign_mode: {config.sign_mode}")
 
@@ -158,7 +182,8 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
     sb_ids[len(sb.active_ids) :] = T_sign  # sentinel: dropped by scatter
     sb = dataclasses.replace(sb, active_ids=sb_ids, cand=sb_cand, cand_valid=sb_valid)
 
-    return Binned(grid, config, pad_band(bb), sb, mesh.tris.astype(np.int32))
+    return Binned(grid, config, pad_band(bb), sb, mesh.tris.astype(np.int32),
+                  band_csr=build_csr(bb))
 
 
 # ---------------------------------------------------------------------------
@@ -226,14 +251,15 @@ def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None,
     static_argnames=(
         "grid_shape", "tile_shape", "tiles_dim", "strides",
         "chamfer_passes", "band_chunk", "seed_band", "jacobi", "apply_sign",
-        "pyramid", "extra_polish", "use_pallas",
+        "pyramid", "extra_polish", "use_pallas", "band_kcap",
     ),
 )
 def _exact_core(
     tri_verts, band_ids, band_cand, band_valid, parity_packed, origin, dx,
+    pair_cand=None, tile_off=None, tile_cnt=None,
     *, grid_shape, tile_shape, tiles_dim, strides, chamfer_passes,
     band_chunk, seed_band, jacobi, apply_sign, pyramid=False, extra_polish=2,
-    use_pallas=False,
+    use_pallas=False, band_kcap=0,
 ):
     """The default single-program pipeline for binned meshes.
 
@@ -251,29 +277,57 @@ def _exact_core(
     ni, nj, nk = grid_shape
     upper = (jnp.float32(ni + nj + nk)) * dx
 
-    phi_rows, tid_rows = tiled_ops.tile_candidate_rows(
-        tri_verts, band_ids, band_cand, band_valid, origin, dx,
-        tile_shape=tile_shape, tiles_dim=tiles_dim, grid_shape=grid_shape,
-        chunk=band_chunk,
-    )
-    table = tiled_ops.tri_affine_table(
-        tri_verts - origin.astype(tri_verts.dtype)
-    )
-    cp_rows = tiled_ops.closest_point_rows(
-        table, band_ids, tid_rows, dx,
-        tile_shape=tile_shape, tiles_dim=tiles_dim, chunk=band_chunk,
-        far=vdt_ops.FAR,
-    )
+    if use_pallas and band_kcap > 0 and tile_shape == (8, 8, 8):
+        # fused Pallas band: distances + winner ids + closest points in one
+        # kernel over CSR candidate segments (ops/band_pallas.py), then a
+        # pure reshape/transpose untile — no scatter, no winner re-gather
+        from .ops import band_pallas
 
-    phi0, tid0 = tiled_ops.scatter_untile(
-        phi_rows, tid_rows, band_ids, upper, tile_shape, tiles_dim, grid_shape
-    )
-    cpx, cpy, cpz = (
-        tiled_ops.scatter_rows(
-            r, band_ids, vdt_ops.FAR, tile_shape, tiles_dim, grid_shape
+        T = int(np.prod(tiles_dim))
+        phi_r, tid_r, cpx_r, cpy_r, cpz_r = band_pallas.band_rows_pallas(
+            tri_verts - origin.astype(tri_verts.dtype),
+            pair_cand, band_ids, tile_off, tile_cnt, dx,
+            kcap=band_kcap, tiles_dim=tiles_dim, grid_shape=grid_shape,
         )
-        for r in cp_rows
-    )
+        # rows never written by the kernel (inactive tiles) hold garbage
+        active = jnp.zeros((T + 1,), bool).at[band_ids].set(True)
+        am = active[:T, None]
+
+        def unt(rows, fill):
+            rows = jnp.where(am, rows[:T], fill)
+            return tiled_ops.untile_rows(rows, tile_shape, tiles_dim,
+                                         grid_shape)
+
+        phi0 = unt(phi_r, upper)
+        tid0 = unt(tid_r, jnp.int32(-1))
+        cpx = unt(cpx_r, vdt_ops.FAR)
+        cpy = unt(cpy_r, vdt_ops.FAR)
+        cpz = unt(cpz_r, vdt_ops.FAR)
+    else:
+        phi_rows, tid_rows = tiled_ops.tile_candidate_rows(
+            tri_verts, band_ids, band_cand, band_valid, origin, dx,
+            tile_shape=tile_shape, tiles_dim=tiles_dim, grid_shape=grid_shape,
+            chunk=band_chunk,
+        )
+        table = tiled_ops.tri_affine_table(
+            tri_verts - origin.astype(tri_verts.dtype)
+        )
+        cp_rows = tiled_ops.closest_point_rows(
+            table, band_ids, tid_rows, dx,
+            tile_shape=tile_shape, tiles_dim=tiles_dim, chunk=band_chunk,
+            far=vdt_ops.FAR,
+        )
+
+        phi0, tid0 = tiled_ops.scatter_untile(
+            phi_rows, tid_rows, band_ids, upper, tile_shape, tiles_dim,
+            grid_shape
+        )
+        cpx, cpy, cpz = (
+            tiled_ops.scatter_rows(
+                r, band_ids, vdt_ops.FAR, tile_shape, tiles_dim, grid_shape
+            )
+            for r in cp_rows
+        )
 
     # Fusing the band evaluation into the VDT's jump-flood loops miscompiles
     # on the TPU backend (the fused program returned values BELOW the
@@ -301,7 +355,12 @@ def _exact_core(
             jacobi=jacobi,
         )
     if chamfer_passes > 0:
-        phi = vdt_ops.chamfer_relax(phi, dx, passes=chamfer_passes)
+        if use_pallas:
+            from .ops.vdt_pallas import pallas_chamfer
+
+            phi = pallas_chamfer(phi, dx, passes=chamfer_passes)
+        else:
+            phi = vdt_ops.chamfer_relax(phi, dx, passes=chamfer_passes)
 
     if apply_sign:
         parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
@@ -363,6 +422,10 @@ def sdf_from_tri_verts(
     sign_mode="host",
     dense_max_tris=dense_ops.DENSE_MAX_TRIS,
     skip_recompute=False,
+    pair_cand=None,
+    tile_off=None,
+    tile_cnt=None,
+    band_kcap=0,
 ):
     """Full pipeline, orchestrated as SEPARATELY-JITTED stages.
 
@@ -411,15 +474,21 @@ def sdf_from_tri_verts(
         strides = () if pyramid else vdt_ops.stride_ladder(
             max(grid_shape), max_hop=vdt_max_hop, extra_rounds=extra,
         )
+        use_pal = pyramid and is_tpu_platform()
+        dummy = jnp.zeros((0,), jnp.int32)
         phi, tid = _exact_core(
             tv_ng, band_ids, band_cand, band_valid,
             parity_packed if sign_mode == "host" else jnp.zeros((0,), jnp.uint8),
             origin, dx,
+            pair_cand if pair_cand is not None else dummy,
+            tile_off if tile_off is not None else dummy,
+            tile_cnt if tile_cnt is not None else dummy,
             grid_shape=grid_shape, tile_shape=tile_shape, tiles_dim=tiles_dim,
             strides=strides, chamfer_passes=chamfer_passes,
             band_chunk=band_chunk, seed_band=seed_band,
             jacobi=vdt_max_hop is not None, apply_sign=fuse_sign,
-            pyramid=pyramid, use_pallas=pyramid and is_tpu_platform(),
+            pyramid=pyramid, use_pallas=use_pal,
+            band_kcap=band_kcap if pair_cand is not None else 0,
         )
         if fuse_sign:
             return phi, tid
@@ -581,6 +650,13 @@ def make_level_set3(
         sign_mode=config.sign_mode,
         dense_max_tris=config.dense_max_tris,
         skip_recompute=verts is None,
+        pair_cand=(jnp.asarray(binned.band_csr["pair"])
+                   if binned.band_csr else None),
+        tile_off=(jnp.asarray(binned.band_csr["off"])
+                  if binned.band_csr else None),
+        tile_cnt=(jnp.asarray(binned.band_csr["cnt"])
+                  if binned.band_csr else None),
+        band_kcap=binned.band_csr["kcap"] if binned.band_csr else 0,
     )
     if return_tid:
         return phi, tid
