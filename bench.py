@@ -100,6 +100,14 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
+    # The axon tunnel's block_until_ready is a NO-OP until the first
+    # device->host transfer, after which dispatch turns synchronous and
+    # wall-clock times become real. Force that mode up front so every
+    # number below is honest (without this, a single-config run reports
+    # dispatch-only latencies).
+    import jax.numpy as jnp
+    np.asarray(jax.jit(lambda v: v + 1.0)(jnp.ones((8, 128), jnp.float32)))
+
     def box36():
         # the reference's benchmark STL box carries 36 triangles (SURVEY:
         # tests/resources/test_x3y4z5_bin.stl); our writer emits 12. Split

@@ -46,7 +46,12 @@ struct ParityArgs {
   int64_t nt;
   double ox, oy, oz, dx;
   int32_t ni, nj, nk;
-  uint8_t* events;  // ni*nj*nk bytes, 0/1 crossing parity per cell
+  uint8_t* events;     // crossing-parity grid, layout per bit_packed
+  bool bit_packed;     // false: ni*nj*nk bytes (crossings transport);
+                       // true: ((ni+7)/8)*nj*nk bytes, bit (i%8) of byte
+                       // ((i/8)*nj + j)*nk + k — the PACKED OUTPUT buffer
+                       // doubles as the events grid (zero extra allocation,
+                       // and the prefix pass touches 1/8 the memory)
 };
 
 void triangle_range(const ParityArgs& A, int64_t t0, int64_t t1) {
@@ -92,27 +97,41 @@ void triangle_range(const ParityArgs& A, int64_t t0, int64_t t1) {
         int64_t bin = static_cast<int64_t>(std::ceil(fint));
         if (bin >= ni) continue;  // dropped (makelevelset3.cpp:233)
         if (bin < 0) bin = 0;     // counted at interval 0 (:231)
-        uint8_t* cell = A.events + (bin * nj + j) * nk + k;
-        __atomic_xor_fetch(cell, 1, __ATOMIC_RELAXED);
+        if (A.bit_packed) {
+          uint8_t* cell = A.events + ((bin >> 3) * nj + j) * nk + k;
+          __atomic_xor_fetch(cell, static_cast<uint8_t>(1u << (bin & 7)),
+                             __ATOMIC_RELAXED);
+        } else {
+          uint8_t* cell = A.events + (bin * nj + j) * nk + k;
+          __atomic_xor_fetch(cell, 1, __ATOMIC_RELAXED);
+        }
       }
     }
   }
 }
 
-// Prefix-XOR along i and bit-pack: bit (i % 8) of packed[(i/8, j, k)].
-void prefix_pack_range(const ParityArgs& A, uint8_t* packed, int64_t nb,
-                       int64_t j0, int64_t j1) {
-  const int64_t nj = A.nj, nk = A.nk, ni = A.ni;
+// In-place prefix-XOR along i of the BIT-PACKED events grid: within each
+// byte a parallel-prefix (b ^= b<<1; b ^= b<<2; b ^= b<<4), then the
+// carry bit (the previous byte's top bit after prefixing) flips the whole
+// byte. Touches ((ni+7)/8)*nj*nk bytes once — 8x less traffic than the
+// old byte-per-cell pass, which dominated host parity time (36 ms at the
+// 37M-cell benchmark box; the raster work itself is sparse).
+void prefix_pack_bits_range(const ParityArgs& A, int64_t nb,
+                            int64_t j0, int64_t j1) {
+  const int64_t nj = A.nj, nk = A.nk;
   std::vector<uint8_t> run(static_cast<size_t>((j1 - j0) * nk), 0);
-  for (int64_t i = 0; i < ni; ++i) {
-    const uint8_t* src = A.events + (i * nj + j0) * nk;
-    uint8_t* dst = packed + ((i / 8) * nj + j0) * nk;
-    const uint8_t bit_shift = static_cast<uint8_t>(i % 8);
+  const int64_t n = (j1 - j0) * nk;
+  for (int64_t ib = 0; ib < nb; ++ib) {
+    uint8_t* row = A.events + (ib * nj + j0) * nk;
     uint8_t* r = run.data();
-    const int64_t n = (j1 - j0) * nk;
     for (int64_t x = 0; x < n; ++x) {
-      r[x] ^= src[x];
-      dst[x] |= static_cast<uint8_t>(r[x] << bit_shift);
+      uint8_t b = row[x];
+      b ^= static_cast<uint8_t>(b << 1);
+      b ^= static_cast<uint8_t>(b << 2);
+      b ^= static_cast<uint8_t>(b << 4);
+      b ^= static_cast<uint8_t>(0u - r[x]);  // carry 1 -> flip all bits
+      row[x] = b;
+      r[x] = b >> 7;
     }
   }
 }
@@ -168,6 +187,7 @@ extern "C" int sdfgenio_crossings(
   const int64_t cols = static_cast<int64_t>(nj) * nk;
   std::vector<uint8_t> events(static_cast<size_t>(cells), 0);
   std::vector<int32_t> counts(static_cast<size_t>(cols), 0);
+  // (byte-per-cell events: this transport extracts per-column positions)
   for (int64_t x = 0; x < static_cast<int64_t>(cap) * cols; ++x)
     crossings_out[x] = 32767;
 
@@ -183,6 +203,7 @@ extern "C" int sdfgenio_crossings(
   A.nj = nj;
   A.nk = nk;
   A.events = events.data();
+  A.bit_packed = false;
 
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw <= 0) hw = 4;
@@ -242,9 +263,7 @@ extern "C" int sdfgenio_parity_packed(
   (void)err;
   (void)errlen;
   if (ni <= 0 || nj <= 0 || nk <= 0) return 1;
-  const int64_t cells = static_cast<int64_t>(ni) * nj * nk;
   const int64_t nb = (ni + 7) / 8;
-  std::vector<uint8_t> events(static_cast<size_t>(cells), 0);
   std::memset(packed_out, 0, static_cast<size_t>(nb) * nj * nk);
 
   ParityArgs A;
@@ -260,7 +279,8 @@ extern "C" int sdfgenio_parity_packed(
   A.ni = ni;
   A.nj = nj;
   A.nk = nk;
-  A.events = events.data();
+  A.events = packed_out;  // events accumulate bit-packed, prefixed in place
+  A.bit_packed = true;
 
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw <= 0) hw = 4;
@@ -288,7 +308,7 @@ extern "C" int sdfgenio_parity_packed(
     int use = static_cast<int>(
         std::min<int64_t>(nth, std::max<int64_t>(1, nj / 8)));
     if (use <= 1) {
-      prefix_pack_range(A, packed_out, nb, 0, nj);
+      prefix_pack_bits_range(A, nb, 0, nj);
     } else {
       std::vector<std::thread> pool;
       int64_t chunk = (nj + use - 1) / use;
@@ -296,7 +316,7 @@ extern "C" int sdfgenio_parity_packed(
         int64_t j0 = w * chunk;
         int64_t j1 = std::min<int64_t>(nj, j0 + chunk);
         if (j0 >= j1) break;
-        pool.emplace_back(prefix_pack_range, std::cref(A), packed_out, nb, j0, j1);
+        pool.emplace_back(prefix_pack_bits_range, std::cref(A), nb, j0, j1);
       }
       for (auto& th : pool) th.join();
     }

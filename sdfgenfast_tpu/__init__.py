@@ -9,7 +9,7 @@ pipeline (``pipeline.make_level_set3`` with vertex gradients) and multi-chip
 sharding (``parallel``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from .api import (  # noqa: F401
     generate_from_file,

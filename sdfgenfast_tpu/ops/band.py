@@ -92,13 +92,18 @@ def bin_triangles(
     nti, ntj, ntk = _round_up(ni, ti) // ti, _round_up(nj, tj) // tj, _round_up(nk, tk) // tk
 
     # native fast path (csrc/sdfbin.cpp): bit-identical two-pass counting
-    # sort, ~20x the vectorized NumPy below at the 82k-triangle flagship
+    # sort, ~20x the vectorized NumPy below at the 82k-triangle flagship.
+    # A native-library FAILURE (nonzero rc) degrades to the NumPy path just
+    # like unavailability — consistent with the parity/crossings fallbacks.
     from ..io import native as _native
 
-    res = _native.bin_triangles_native(
-        verts, tris, grid.origin, grid.dx, grid.shape, exact_band,
-        tile_shape, pad_k_to,
-    )
+    try:
+        res = _native.bin_triangles_native(
+            verts, tris, grid.origin, grid.dx, grid.shape, exact_band,
+            tile_shape, pad_k_to,
+        )
+    except _native.NativeIOError:
+        res = None
     if res is not None:
         active, cand, valid, tdim = res
         return BandBinning(tile_shape, tdim, active, cand, valid)

@@ -161,64 +161,83 @@ def _sep_kernel(params_ref, off_ref, coef_ref, d_ref, tid_ref, *, nj, m_pad):
     )
 
     def tri_step(t, carry):
-        best_d2, best_t = carry
         cf = lambda i: coef_ref[i, t]  # noqa: E731 — scalar SMEM load
 
-        # row ((S,1)) / lane ((1,nk)) halves of each affine feature
+        # row ((S,1)) / lane ((1,nk)) halves of the plane distance
         hu = cf(27) * x + (cf(28) * y + cf(30))
         hv = cf(29) * z
-        w23u = cf(31) * x + (cf(32) * y + cf(34))
-        w23v = cf(33) * z
-        w31u = cf(35) * x + (cf(36) * y + cf(38))
-        w31v = cf(37) * z
-        w12u = 1.0 - w23u - w31u
-        w12v = -(w23v + w31v)
-
-        # u = p - x2 per edge endpoint (b for edge ab; c for edges ac, bc)
-        ubx = x - cf(0)
-        uby = y - cf(1)
-        ubz = z - cf(2)
-        ucx = x - cf(3)
-        ucy = y - cf(4)
-        ucz = z - cf(5)
-
         h = hu + hv
         din = h * h
-        w23 = w23u + w23v
-        w31 = w31u + w31v
-        w12 = w12u + w12v
-        # degenerate triangles (cf(39) == 1) have meaningless normals and
-        # clamped barycentric weights: force the outside branch so they get
-        # their exact edge/point distance (makelevelset3.cpp:62-70)
-        inside = (jnp.minimum(jnp.minimum(w23, w31), w12) >= 0.0) & (cf(39) < 0.5)
 
-        def edge_d2(su, sv, wx, wy, wz, ux, uy, uz):
-            s = jnp.clip(su + sv, 0.0, 1.0)
-            ddx = ux - s * wx
-            ddy = uy - s * wy
-            ddz = uz - s * wz
-            return ddx * ddx + ddy * ddy + ddz * ddz
+        # PLANE-BOUND CULL: |h| lower-bounds the triangle distance, so when
+        # even the block's smallest |h| exceeds its largest best-so-far the
+        # triangle loses at every cell — skip the ~30 remaining vector ops.
+        # Degenerate triangles have meaningless normals: never skip them
+        # (their exact distance comes from the edge math below). For the
+        # 36-triangle benchmark box this skips most far faces per block
+        # (x-normal faces are constant-h per block; z-normal faces never
+        # skip because blocks span the full k extent).
+        skippable = (cf(39) < 0.5) & (
+            jnp.min(din) > jnp.max(carry[0]))
 
-        d_ab = edge_d2(
-            cf(15) * x + (cf(16) * y + cf(18)), cf(17) * z,
-            cf(6), cf(7), cf(8), ubx, uby, ubz,
-        )
-        d_ac = edge_d2(
-            cf(19) * x + (cf(20) * y + cf(22)), cf(21) * z,
-            cf(9), cf(10), cf(11), ucx, ucy, ucz,
-        )
-        d_bc = edge_d2(
-            cf(23) * x + (cf(24) * y + cf(26)), cf(25) * z,
-            cf(12), cf(13), cf(14), ucx, ucy, ucz,
-        )
-        # min over all 3 edges == min over the region's 2 edges: the boundary
-        # distance is what both compute (makelevelset3.cpp:62-69 picks 2 as
-        # an optimization; the third edge can never undercut the boundary).
-        d_edge = jnp.minimum(d_ab, jnp.minimum(d_ac, d_bc))
-        d2 = jnp.where(inside, din, d_edge)
+        def full_eval(carry):
+            best_d2, best_t = carry
+            w23u = cf(31) * x + (cf(32) * y + cf(34))
+            w23v = cf(33) * z
+            w31u = cf(35) * x + (cf(36) * y + cf(38))
+            w31v = cf(37) * z
+            w12u = 1.0 - w23u - w31u
+            w12v = -(w23v + w31v)
 
-        better = d2 < best_d2
-        return jnp.where(better, d2, best_d2), jnp.where(better, t, best_t)
+            # u = p - x2 per edge endpoint (b for edge ab; c for ac, bc)
+            ubx = x - cf(0)
+            uby = y - cf(1)
+            ubz = z - cf(2)
+            ucx = x - cf(3)
+            ucy = y - cf(4)
+            ucz = z - cf(5)
+
+            w23 = w23u + w23v
+            w31 = w31u + w31v
+            w12 = w12u + w12v
+            # degenerate triangles (cf(39) == 1) have meaningless normals
+            # and clamped barycentric weights: force the outside branch so
+            # they get their exact edge/point distance
+            # (makelevelset3.cpp:62-70)
+            inside = (jnp.minimum(jnp.minimum(w23, w31), w12) >= 0.0) & (
+                cf(39) < 0.5)
+
+            def edge_d2(su, sv, wx, wy, wz, ux, uy, uz):
+                s = jnp.clip(su + sv, 0.0, 1.0)
+                ddx = ux - s * wx
+                ddy = uy - s * wy
+                ddz = uz - s * wz
+                return ddx * ddx + ddy * ddy + ddz * ddz
+
+            d_ab = edge_d2(
+                cf(15) * x + (cf(16) * y + cf(18)), cf(17) * z,
+                cf(6), cf(7), cf(8), ubx, uby, ubz,
+            )
+            d_ac = edge_d2(
+                cf(19) * x + (cf(20) * y + cf(22)), cf(21) * z,
+                cf(9), cf(10), cf(11), ucx, ucy, ucz,
+            )
+            d_bc = edge_d2(
+                cf(23) * x + (cf(24) * y + cf(26)), cf(25) * z,
+                cf(12), cf(13), cf(14), ucx, ucy, ucz,
+            )
+            # min over all 3 edges == min over the region's 2 edges: the
+            # boundary distance is what both compute (makelevelset3.cpp:
+            # 62-69 picks 2 as an optimization; the third edge can never
+            # undercut the boundary).
+            d_edge = jnp.minimum(d_ab, jnp.minimum(d_ac, d_bc))
+            d2 = jnp.where(inside, din, d_edge)
+
+            better = d2 < best_d2
+            return (jnp.where(better, d2, best_d2),
+                    jnp.where(better, t, best_t))
+
+        return jax.lax.cond(skippable, lambda c: c, full_eval, carry)
 
     def body(g, carry):
         # static inner unroll: Mosaic rejects partially-unrolled fori_loops

@@ -45,15 +45,34 @@ __all__ = ["SDFConfig", "Binned", "bin_mesh", "sdf_from_tri_verts", "make_level_
 
 @dataclasses.dataclass(frozen=True)
 class SDFConfig:
+    """Pipeline configuration (the reference's build+runtime knobs rolled
+    into one dataclass, per SURVEY §5 "config/flag system").
+
+    SHARDED-MODE RESTRICTIONS (parallel/sharded.sharded_sdf): only
+    ``far_field="exact"`` is supported (raises NotImplementedError
+    otherwise), the sign is always the host parity transport, and
+    ``vdt_max_hop`` is clamped to the shard block (one halo slab per jump-
+    flood round keeps shard runs bit-identical to a single-device run of
+    the same capped ladder). ``far_field="propagate"``/``"eikonal"`` and
+    ``sign_mode="device"`` are single-device-only modes.
+    """
+
     exact_band: int = 1
     # "exact": band + closest-point jump-flood far field (CPU-backend
     # semantics, default); "propagate": directional plane scans;
-    # "eikonal": CUDA-backend semantics
+    # "eikonal": CUDA-backend semantics. Sharded runs support "exact" ONLY.
     far_field: str = "exact"
     # "host": parity computed in NumPy float64 during binning (exact reference
     # parity, fastest); "device": double-float SOS predicates on device
-    # (self-contained, but this backend compiles the long df chains slowly)
+    # (self-contained, but this backend compiles the long df chains slowly).
+    # Sharded runs always use the host transport.
     sign_mode: str = "host"
+    # host-mode parity transport to the device: "packed" ships the bit-packed
+    # (ni/8, nj, nk) field (one fused unpack op); "crossings" ships only the
+    # per-column crossing positions ((C, nj, nk) int16, typically ~C/ni * 1/8
+    # the bytes) and reconstructs parity on device as XOR of compares — for
+    # bandwidth-constrained host links (csrc/sdfparity.cpp crossings path)
+    parity_transport: str = "packed"
     tile_shape: Tuple[int, int, int] = band_ops.DEFAULT_TILE
     tile2d_shape: Tuple[int, int] = sign_ops.DEFAULT_TILE_2D
     # safety cap only — the propagation while_loop exits as soon as a full
@@ -100,6 +119,13 @@ class Binned:
     # pair ids (P,), per-active-tile offsets/counts (A_pad,), both padded to
     # jit-stable buckets; kcap = static per-tile DMA window (max count)
     band_csr: Optional[dict] = None
+    # host-parity "crossings" transport: (C, nj, nk) int16 per-column x-ray
+    # crossing positions (None when parity_packed is used instead)
+    parity_crossings: Optional[np.ndarray] = None
+    # the band (in cells) the candidate lists were binned with: the freeze
+    # threshold (cells whose band value is treated as provably exact) must
+    # never exceed it — a wider freeze would pin non-minimal upper bounds
+    seed_band: int = 3
 
 
 def _bucket(n: int, minimum: int = 64, shift: int = 4) -> int:
@@ -124,6 +150,11 @@ def use_dense(config: SDFConfig, num_tris: int) -> bool:
 def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Binned:
     mesh.validate_indices()
     if use_dense(config, len(mesh.tris)) and config.sign_mode == "host":
+        if config.parity_transport == "crossings":
+            cross = sign_host_ops.crossings_host(mesh.verts, mesh.tris, grid)
+            return Binned(grid, config, None, None,
+                          mesh.tris.astype(np.int32), None,
+                          parity_crossings=cross)
         packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
         return Binned(grid, config, None, None,
                       mesh.tris.astype(np.int32), packed)
@@ -132,6 +163,7 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
     # closest triangle for near-band cells (measured: max far-field error
     # 0.37dx at band 1 -> 0.023dx at band 3). A wider user band is honored.
     seed_band = max(config.exact_band, 3 if config.far_field == "exact" else config.exact_band)
+    bin_band = seed_band  # recorded in Binned: the freeze threshold ceiling
     bb = band_ops.bin_triangles(
         mesh.verts, mesh.tris, grid, seed_band, config.tile_shape
     )
@@ -153,6 +185,16 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
             np.pad(b.cand_valid, ((0, pad), (0, 0))),
         )
 
+    def host_parity(grid):
+        if config.parity_transport == "crossings":
+            return None, sign_host_ops.crossings_host(
+                mesh.verts, mesh.tris, grid)
+        if config.parity_transport != "packed":
+            raise ValueError(
+                f"unknown parity_transport: {config.parity_transport}")
+        return sign_host_ops.parity_packed_host(
+            mesh.verts, mesh.tris, grid), None
+
     def build_csr(bb):
         from .ops import band_pallas
         pair, off, cnt = band_pallas.band_csr_from_binning(
@@ -168,10 +210,11 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
         return {"pair": pair, "off": off, "cnt": cnt, "kcap": kcap}
 
     if config.sign_mode == "host":
-        packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
+        packed, cross = host_parity(grid)
         return Binned(grid, config, pad_band(bb), None,
                       mesh.tris.astype(np.int32), packed,
-                      band_csr=build_csr(bb))
+                      band_csr=build_csr(bb), seed_band=bin_band,
+                      parity_crossings=cross)
     elif config.sign_mode != "device":
         raise ValueError(f"unknown sign_mode: {config.sign_mode}")
 
@@ -183,7 +226,7 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
     sb = dataclasses.replace(sb, active_ids=sb_ids, cand=sb_cand, cand_valid=sb_valid)
 
     return Binned(grid, config, pad_band(bb), sb, mesh.tris.astype(np.int32),
-                  band_csr=build_csr(bb))
+                  band_csr=build_csr(bb), seed_band=bin_band)
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +298,7 @@ def _recompute_phi(tri_verts, tid, parity, origin, dx, upper, ijk_offset=None,
     ),
 )
 def _exact_core(
-    tri_verts, band_ids, band_cand, band_valid, parity_packed, origin, dx,
+    verts, tris, band_ids, band_cand, band_valid, parity_packed, origin, dx,
     pair_cand=None, tile_off=None, tile_cnt=None,
     *, grid_shape, tile_shape, tiles_dim, strides, chamfer_passes,
     band_chunk, seed_band, jacobi, apply_sign, pyramid=False, extra_polish=2,
@@ -276,6 +319,9 @@ def _exact_core(
     """
     ni, nj, nk = grid_shape
     upper = (jnp.float32(ni + nj + nk)) * dx
+    # triangle-vertex gather INSIDE the jit: through the axon tunnel every
+    # separate dispatch costs a ~25 ms synchronous round trip
+    tri_verts = verts[tris]
 
     if use_pallas and band_kcap > 0 and tile_shape == (8, 8, 8):
         # fused Pallas band: distances + winner ids + closest points in one
@@ -363,7 +409,7 @@ def _exact_core(
             phi = vdt_ops.chamfer_relax(phi, dx, passes=chamfer_passes)
 
     if apply_sign:
-        parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
+        parity = _parity_device(parity_packed, ni)
         return jnp.where(parity, -phi, phi), tid
     return phi, tid
 
@@ -376,7 +422,15 @@ def _recompute_stage(tri_verts, tid, parity, origin, dx, upper, chunk_cells=1 <<
 
 @partial(jax.jit, static_argnames=("ni",))
 def _unpack_parity_stage(parity_packed, ni):
-    return sign_host_ops.unpack_parity_device(parity_packed, ni)
+    return _parity_device(parity_packed, ni)
+
+
+def _parity_device(parity_data, ni):
+    """Device-side parity reconstruction for either host transport: the
+    bit-packed field (uint8) or per-column crossing positions (int16)."""
+    if parity_data.dtype == jnp.int16:
+        return sign_host_ops.parity_from_crossings_device(parity_data, ni)
+    return sign_host_ops.unpack_parity_device(parity_data, ni)
 
 
 @jax.jit
@@ -389,6 +443,21 @@ def _sign_apply_packed_stage(phi, parity_packed, ni):
     """Fused unpack+apply: one kernel, one read of phi, no bool field in HBM."""
     parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
     return jnp.where(parity, -phi, phi)
+
+
+@partial(jax.jit, static_argnames=("grid_shape", "interpret"))
+def _dense_sign_core(verts, tris, parity_packed, origin, dx, *,
+                     grid_shape, interpret):
+    """The whole non-differentiable dense path as ONE dispatch: vertex
+    gather -> fused all-triangles Pallas kernel -> packed-parity sign.
+    Through the axon tunnel each separate dispatch costs a ~25 ms
+    synchronous round trip — at box256's ~130 ms budget (10x the RTX-4090
+    anchor) the old 3-dispatch structure spent over half the budget idle."""
+    tri_verts = verts[tris]
+    phi_d, tid = dense_ops.dense_distance_field(
+        tri_verts, origin, dx, grid_shape=grid_shape, interpret=interpret)
+    parity = _parity_device(parity_packed, grid_shape[0])
+    return jnp.where(parity, -phi_d, phi_d), tid
 
 
 def sdf_from_tri_verts(
@@ -426,6 +495,8 @@ def sdf_from_tri_verts(
     tile_off=None,
     tile_cnt=None,
     band_kcap=0,
+    verts=None,  # (N, 3) f32 + (M, 3) i32: lets the jitted cores gather
+    tris=None,   # tri_verts in-program (one dispatch fewer per call)
 ):
     """Full pipeline, orchestrated as SEPARATELY-JITTED stages.
 
@@ -436,18 +507,29 @@ def sdf_from_tri_verts(
     ni, nj, nk = grid_shape
     upper = jnp.float32(ni + nj + nk) * dx
 
-    tv_ng = jax.lax.stop_gradient(tri_verts)
+    if verts is None or tris is None:
+        verts = jax.lax.stop_gradient(tri_verts).reshape(-1, 3)
+        tris = jnp.arange(verts.shape[0], dtype=jnp.int32).reshape(-1, 3)
+    num_tris = int(tris.shape[0])
+    tv_ng = None if tri_verts is None else jax.lax.stop_gradient(tri_verts)
 
     cfg_for_dense = SDFConfig(far_field=far_field, dense_max_tris=dense_max_tris)
-    if use_dense(cfg_for_dense, int(tri_verts.shape[0])):
+    if use_dense(cfg_for_dense, num_tris):
+        if sign_mode == "host" and skip_recompute:
+            # non-differentiable callers: gather + dense kernel + fused
+            # unpack+sign as ONE dispatch
+            from .platform import is_tpu_platform as _tpu
+
+            return _dense_sign_core(
+                verts, tris, parity_packed, origin, dx,
+                grid_shape=grid_shape, interpret=not _tpu())
+        if tv_ng is None:
+            tv_ng = verts[tris]
+            tri_verts = tv_ng
         phi_d, tid = dense_ops.dense_distance_field(
             tv_ng, origin, dx, grid_shape=grid_shape
         )
         if sign_mode == "host":
-            if skip_recompute:
-                # non-differentiable callers: the dense kernel's distance IS
-                # the final magnitude — one fused unpack+sign stage finishes
-                return _sign_apply_packed_stage(phi_d, parity_packed, ni), tid
             parity = _unpack_parity_stage(parity_packed, ni)
         else:
             parity = sign_ops.parity_field(
@@ -477,7 +559,7 @@ def sdf_from_tri_verts(
         use_pal = pyramid and is_tpu_platform()
         dummy = jnp.zeros((0,), jnp.int32)
         phi, tid = _exact_core(
-            tv_ng, band_ids, band_cand, band_valid,
+            verts, tris, band_ids, band_cand, band_valid,
             parity_packed if sign_mode == "host" else jnp.zeros((0,), jnp.uint8),
             origin, dx,
             pair_cand if pair_cand is not None else dummy,
@@ -502,8 +584,13 @@ def sdf_from_tri_verts(
             )
         if skip_recompute:
             return _sign_apply_stage(phi, parity), tid
+        if tri_verts is None:
+            tri_verts = verts[tris]
         return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
 
+    if tv_ng is None:
+        tv_ng = verts[tris]
+        tri_verts = tv_ng
     phi0, tid0 = band_ops.band_distance_field(
         tv_ng,
         band_ids,
@@ -581,16 +668,20 @@ def make_level_set3(
         )
     if binned is None:
         binned = bin_mesh(mesh, grid, config)
-    v = mesh.verts if verts is None else verts
+    v = jnp.asarray(mesh.verts if verts is None else verts)
     tris = jnp.asarray(binned.tris)
-    tri_verts = jnp.asarray(v)[tris]
+    # only differentiable callers need tri_verts materialized out here (the
+    # gradient flows through this gather); the fused cores gather in-jit
+    tri_verts = v[tris] if verts is not None else None
 
     if config.sign_mode == "host":
         dummy = jnp.zeros((0,), jnp.float32)
         sign_args = dict(
             f_hi=dummy, f_lo=dummy,
             sign_ids=dummy, sign_cand=dummy, sign_valid=dummy,
-            parity_packed=jnp.asarray(binned.parity_packed),
+            parity_packed=jnp.asarray(
+                binned.parity_packed if binned.parity_packed is not None
+                else binned.parity_crossings),
             tile2d_shape=(1, 1), tiles2d_dim=(1, 1),
         )
     else:
@@ -646,7 +737,10 @@ def make_level_set3(
         vdt_extra_rounds=config.vdt_extra_rounds,
         vdt_max_hop=config.vdt_max_hop,
         chamfer_passes=config.chamfer_passes,
-        seed_band=max(config.exact_band, 3),
+        # the freeze threshold is capped by the band actually binned with:
+        # freezing wider would pin non-minimal band upper bounds (the
+        # 0.35dx-class error the seed-band widening was added to fix)
+        seed_band=min(max(config.exact_band, 3), binned.seed_band),
         sign_mode=config.sign_mode,
         dense_max_tris=config.dense_max_tris,
         skip_recompute=verts is None,
@@ -657,6 +751,8 @@ def make_level_set3(
         tile_cnt=(jnp.asarray(binned.band_csr["cnt"])
                   if binned.band_csr else None),
         band_kcap=binned.band_csr["kcap"] if binned.band_csr else 0,
+        verts=v,
+        tris=tris,
     )
     if return_tid:
         return phi, tid

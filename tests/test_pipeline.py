@@ -6,6 +6,7 @@ import pytest
 from sdfgenfast_tpu import GridSpec, SDFConfig, box_mesh, make_level_set3
 from sdfgenfast_tpu.mesh import icosphere
 from sdfgenfast_tpu.pipeline import bin_mesh
+from sdfgenfast_tpu.grid import sizing_mode2a_proportional
 from oracle import brute_force_sdf
 
 SURF_EPS = 1e-5  # cells lying exactly on the surface have ambiguous sign
@@ -168,3 +169,36 @@ class TestErrors:
         g = GridSpec((0, 0, 0), 1.0, (4, 4, 4))
         with pytest.raises(ValueError):
             make_level_set3(m, g)
+
+
+class TestCrossingsTransport:
+    """parity_transport="crossings" must reproduce the packed transport's
+    output exactly: same host f64 predicates, parity reconstructed on device
+    as XOR of (i >= crossing) compares (ops/sign_host.py:89-96)."""
+
+    def test_dense_path_matches_packed(self):
+        mesh = box_mesh((1.2, 1.0, 0.8), (-0.5, -0.5, -0.4))
+        mn, mx = mesh.bounds()
+        grid = sizing_mode2a_proportional(mn, mx, 32, 2)
+        a = np.asarray(make_level_set3(mesh, grid, SDFConfig()))
+        b = np.asarray(make_level_set3(
+            mesh, grid, SDFConfig(parity_transport="crossings")))
+        np.testing.assert_array_equal(a, b)
+
+    def test_band_path_matches_packed(self):
+        mesh = icosphere(4, radius=1.0)
+        mn, mx = mesh.bounds()
+        grid = sizing_mode2a_proportional(mn, mx, 48, 1)
+        a = np.asarray(make_level_set3(mesh, grid, SDFConfig()))
+        b = np.asarray(make_level_set3(
+            mesh, grid, SDFConfig(parity_transport="crossings")))
+        np.testing.assert_array_equal(a, b)
+
+    def test_unknown_transport_raises(self):
+        mesh = box_mesh()
+        mn, mx = mesh.bounds()
+        grid = sizing_mode2a_proportional(mn, mx, 16, 1)
+        with pytest.raises(ValueError, match="parity_transport"):
+            make_level_set3(mesh, grid,
+                            SDFConfig(parity_transport="bogus",
+                                      dense_max_tris=0))
