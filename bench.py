@@ -146,6 +146,17 @@ def main():
     if wanted:
         configs = [c for c in configs if c[0] in wanted]
 
+    # honest per-config reference numbers (tools/rebaseline_reference.py):
+    # measured reference-binary CPU walls on THESE meshes/grids, plus an
+    # RTX-4090 estimate via the reference's own 37.6x GPU speedup
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            rebase = json.load(f).get("published", {}).get(
+                "reference_rebaseline", {}).get("rows", {})
+    except Exception:
+        rebase = {}
+
     results = {}
     for name, mesh, nx, cfg, reps in configs:
         mn, mx = mesh.bounds()
@@ -156,14 +167,23 @@ def main():
             log(f"{name}: FAILED ({type(e).__name__}: {e})")
             continue
         r["grid"] = list(grid.shape)
+        ref = rebase.get(name)
+        vs_ref = ""
+        if ref:
+            cpu1 = ref["cpu_1t"]["voxels_per_sec"]
+            gpue = ref["rtx4090_est"]["voxels_per_sec"]
+            r["vs_ref_cpu_1t"] = round(r["voxels_per_sec"] / cpu1, 1)
+            r["vs_ref_gpu_est"] = round(r["voxels_per_sec"] / gpue, 2)
+            vs_ref = (f", {r['vs_ref_cpu_1t']:.0f}x ref-cpu-1t, "
+                      f"{r['vs_ref_gpu_est']:.1f}x est-RTX4090")
         results[name] = r
         log(
             f"{name}: grid={grid.shape} cells={r['cells']/1e6:.2f}M "
             f"tris={r['tris']} time={r['time_s']*1e3:.1f}ms "
             f"(bin {r['bin_s']*1e3:.0f}ms, compile {r['compile_s']:.1f}s) "
             f"-> {r['voxels_per_sec']/1e6:.1f}M voxels/s "
-            f"({r['voxels_per_sec']/BASELINE_VOXELS_PER_SEC:.2f}x anchor, "
-            f"inside {r['inside_frac']:.3f})"
+            f"({r['voxels_per_sec']/BASELINE_VOXELS_PER_SEC:.2f}x anchor"
+            f"{vs_ref}, inside {r['inside_frac']:.3f})"
         )
 
     # keep BASELINE.json's published table in sync with the harness
@@ -216,6 +236,8 @@ def main():
                         "vs_baseline_anchor": round(
                             r["voxels_per_sec"] / BASELINE_VOXELS_PER_SEC, 3
                         ),
+                        **{k: r[k] for k in
+                           ("vs_ref_cpu_1t", "vs_ref_gpu_est") if k in r},
                     }
                     for name, r in results.items()
                 },

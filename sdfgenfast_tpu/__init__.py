@@ -15,6 +15,7 @@ from .api import (  # noqa: F401
     generate_from_file,
     generate_from_mesh,
     generate_sdf,
+    generate_sdf_batch,
     is_gpu_available,
     is_tpu_available,
     load_mesh,
@@ -28,6 +29,7 @@ from .pipeline import SDFConfig, bin_mesh, make_level_set3  # noqa: F401
 __all__ = [
     "load_mesh",
     "generate_sdf",
+    "generate_sdf_batch",
     "save_sdf",
     "load_sdf",
     "is_tpu_available",

@@ -22,6 +22,7 @@ from .io import sdf_io as _sdf_io
 from .pipeline import SDFConfig, make_level_set3
 
 __all__ = [
+    "generate_sdf_batch",
     "load_mesh",
     "generate_sdf",
     "save_sdf",
@@ -141,6 +142,66 @@ def generate_sdf(
     with jax.default_device(dev):
         phi = make_level_set3(mesh, grid, config)
         return np.asarray(phi)
+
+
+def generate_sdf_batch(
+    meshes,
+    origin,
+    dx: float,
+    nx: int,
+    ny: int,
+    nz: int,
+    exact_band: int = 1,
+    backend: str = "auto",
+    far_field: str = "exact",
+):
+    """Generate SDFs for a BATCH of meshes on one shared grid.
+
+    `meshes` is a sequence of (vertices, triangles) pairs (the reference has
+    no batch API; this serves BASELINE config 5's "batch of 100k-triangle
+    meshes"). Returns a list of (nx, ny, nz) float32 arrays.
+
+    Device-efficiency design: one compiled program is REUSED across the
+    whole batch — host-side binning pads candidate shapes to coarse buckets
+    (pipeline._bucket), so meshes of similar size hit the jit cache instead
+    of recompiling, and the persistent compilation cache covers the rest.
+    Each mesh's host binning (NumPy/C++) runs while the previous mesh's
+    device program executes, overlapping the two pipelines.
+    """
+    import jax
+
+    if nx <= 0 or ny <= 0 or nz <= 0:
+        raise ValueError("Grid dimensions must be positive (nx, ny, nz > 0)")
+    if not (float(dx) > 0.0):
+        raise ValueError("Cell spacing dx must be positive")
+    dev = _resolve_backend(backend)
+    grid = GridSpec(tuple(float(v) for v in origin), float(dx),
+                    (int(nx), int(ny), int(nz)))
+    config = SDFConfig(exact_band=exact_band, far_field=far_field)
+
+    from .pipeline import bin_mesh
+
+    validated = []
+    for vertices, triangles in meshes:
+        v, t = _validate_mesh_arrays(vertices, triangles)
+        if v.shape[0] == 0 or t.shape[0] == 0:
+            raise ValueError(
+                "Cannot generate SDF from empty mesh "
+                "(vertices or triangles are empty)"
+            )
+        validated.append(Mesh(v, t))
+
+    out = []
+    with jax.default_device(dev):
+        pending = None  # device array still computing while we bin the next
+        for mesh in validated:
+            binned = bin_mesh(mesh, grid, config)
+            if pending is not None:
+                out.append(np.asarray(pending))
+            pending = make_level_set3(mesh, grid, config, binned=binned)
+        if pending is not None:
+            out.append(np.asarray(pending))
+    return out
 
 
 def save_sdf(filename: str, sdf_array: np.ndarray, origin, dx: float) -> None:

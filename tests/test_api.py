@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 
 import sdfgenfast_tpu as sdfgen
+from sdfgenfast_tpu import mesh as mesh_mod
 
 
 @pytest.fixture
@@ -435,3 +436,38 @@ class TestEdgeCases:
             pytest.skip("TPU is available here")
         with pytest.raises(RuntimeError):
             _gen(vertices, triangles, backend="tpu")
+
+
+class TestBatchAPI:
+    """generate_sdf_batch: one shared grid, compiled-program reuse across
+    meshes (BASELINE config 5's batch capability — the reference has no
+    batch API)."""
+
+    def test_batch_matches_individual(self):
+        sg = sdfgen
+        rng = np.random.default_rng(5)
+        base = mesh_mod.icosphere(2, radius=1.0)
+        meshes = []
+        for k in range(3):
+            v = base.verts + rng.normal(scale=0.01, size=base.verts.shape
+                                        ).astype(np.float32)
+            meshes.append((v, base.tris))
+        origin, dx, dims = (-1.4, -1.4, -1.4), 2.8 / 32, (32, 32, 32)
+        batch = sg.generate_sdf_batch(meshes, origin, dx, *dims)
+        assert len(batch) == 3
+        for (v, t), phi in zip(meshes, batch):
+            single = sg.generate_sdf(v, t, origin, dx, *dims)
+            np.testing.assert_array_equal(phi, single)
+
+    def test_batch_rejects_empty_mesh(self):
+        sg = sdfgen
+        with pytest.raises(ValueError, match="empty mesh"):
+            sg.generate_sdf_batch(
+                [(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint32))],
+                (0, 0, 0), 0.1, 8, 8, 8)
+
+    def test_batch_bad_grid(self):
+        sg = sdfgen
+        m = mesh_mod.box_mesh()
+        with pytest.raises(ValueError, match="positive"):
+            sg.generate_sdf_batch([(m.verts, m.tris)], (0, 0, 0), 0.1, 0, 8, 8)

@@ -121,3 +121,22 @@ class TestSharded512Class:
         phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
         phi_single = np.asarray(make_level_set3(m, g, cfg))
         _assert_equivalent(phi_sharded, phi_single)
+
+
+class TestSharded1024Class:
+    def test_1024_class_halo_ladder_matches_single_device(self):
+        # BASELINE config 5's grid scale on the virtual CPU mesh: 1024-wide
+        # sharded axes (blocks 512x256 on the (2,4) mesh) exercise the
+        # capped ladder's deepest halo cascades; thin i keeps the CPU run
+        # affordable (8 x 1024 x 1024 = 8.4M cells). At real-chip scale this
+        # sharding is MANDATORY: the (5, n, n, n) f32 VDT state at 1024^3 is
+        # ~20 GB, beyond a single v5e's 16 GB HBM (see README memory table).
+        dmesh = _mesh_or_skip()
+        m = icosphere(3, radius=1.0, center=(0.02, 0.015, -0.01))
+        g = GridSpec((-1.25, -1.25, -1.25), 2.5 / 1024, (8, 1024, 1024))
+        cfg = SDFConfig(tile2d_shape=(8, 8), tile_shape=(8, 8, 8),
+                        dense_max_tris=0, vdt_max_hop=32)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
