@@ -30,6 +30,91 @@ void set_err(char* err, int errlen, const char* msg) {
   }
 }
 
+
+namespace {
+
+// Exact-overlap prune: a pair (triangle, tile) is kept only when a LOWER
+// BOUND on the distance (in cell units) from the tile's cell box to the
+// triangle is <= band + eps. Two bounds, both separating-axis style:
+//   1. Euclidean bbox gap: sqrt(gx^2+gy^2+gz^2) between the triangle bbox
+//      and the tile cell box (the legacy criterion was the L-inf version —
+//      per-axis dilation — which keeps diagonal-corner tiles the L2 test
+//      drops).
+//   2. Plane separation: |n.c - d| - sum(|n_ax| * h_ax), the distance from
+//      the tile box to the triangle's PLANE (skipped for degenerate
+//      normals).
+// Freeze-exactness only needs triangles within `band` cells of some tile
+// cell kept, and dist(cell, tri) >= both bounds, so pruning is safe.
+// eps guards f64 rounding at the decision margin (decisions must also
+// match the NumPy fallback bit-for-bit; see -ffp-contract=off).
+struct TriGeom {
+  double fmin[3], fmax[3];  // grid-coordinate bbox
+  double n[3], d, nlen;     // plane n.x = d, |n| (0 for degenerate)
+  double f[3][3];           // grid-coordinate vertices
+};
+
+inline void tri_geom(const float* verts, const uint32_t* tri,
+                     const double* origin, double dx, TriGeom* g) {
+  for (int ax = 0; ax < 3; ++ax) {
+    g->fmin[ax] = 1e300;
+    g->fmax[ax] = -1e300;
+  }
+  for (int v = 0; v < 3; ++v) {
+    const uint32_t vi = tri[v];
+    for (int ax = 0; ax < 3; ++ax) {
+      const double f =
+          (static_cast<double>(verts[vi * 3 + ax]) - origin[ax]) / dx;
+      g->f[v][ax] = f;
+      if (f < g->fmin[ax]) g->fmin[ax] = f;
+      if (f > g->fmax[ax]) g->fmax[ax] = f;
+    }
+  }
+  double e1[3], e2[3];
+  for (int ax = 0; ax < 3; ++ax) {
+    e1[ax] = g->f[1][ax] - g->f[0][ax];
+    e2[ax] = g->f[2][ax] - g->f[0][ax];
+  }
+  g->n[0] = e1[1] * e2[2] - e1[2] * e2[1];
+  g->n[1] = e1[2] * e2[0] - e1[0] * e2[2];
+  g->n[2] = e1[0] * e2[1] - e1[1] * e2[0];
+  const double n2 =
+      g->n[0] * g->n[0] + g->n[1] * g->n[1] + g->n[2] * g->n[2];
+  g->nlen = std::sqrt(n2);
+  g->d = g->n[0] * g->f[0][0] + g->n[1] * g->f[0][1] + g->n[2] * g->f[0][2];
+}
+
+inline bool keep_tile(const TriGeom& g, const int64_t* tile,
+                      const int64_t* dims, int64_t a, int64_t b, int64_t c,
+                      double band) {
+  const double eps = 1e-6;
+  const int64_t tix[3] = {a, b, c};
+  double lo[3], hi[3], gap2 = 0.0;
+  for (int ax = 0; ax < 3; ++ax) {
+    lo[ax] = static_cast<double>(tix[ax] * tile[ax]);
+    double h = static_cast<double>((tix[ax] + 1) * tile[ax] - 1);
+    const double dmax = static_cast<double>(dims[ax] - 1);
+    if (h > dmax) h = dmax;
+    hi[ax] = h;
+    double gap = 0.0;
+    if (lo[ax] > g.fmax[ax]) gap = lo[ax] - g.fmax[ax];
+    else if (g.fmin[ax] > hi[ax]) gap = g.fmin[ax] - hi[ax];
+    gap2 += gap * gap;
+  }
+  const double limit = band + eps;
+  if (gap2 > limit * limit) return false;
+  if (g.nlen > 1e-30) {
+    double center_dot = 0.0, radius = 0.0;
+    for (int ax = 0; ax < 3; ++ax) {
+      center_dot += g.n[ax] * (0.5 * (lo[ax] + hi[ax]));
+      radius += std::fabs(g.n[ax]) * (0.5 * (hi[ax] - lo[ax]));
+    }
+    const double plane_gap =
+        (std::fabs(center_dot - g.d) - radius) / g.nlen;
+    if (plane_gap > limit) return false;
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -56,25 +141,16 @@ int sdfbin_count(
   const int64_t ntk = (nk + tk - 1) / tk;
 
   for (int64_t t = 0; t < nt; ++t) {
-    double fmin[3] = {1e300, 1e300, 1e300};
-    double fmax[3] = {-1e300, -1e300, -1e300};
-    for (int v = 0; v < 3; ++v) {
-      const uint32_t vi = tris[t * 3 + v];
-      for (int ax = 0; ax < 3; ++ax) {
-        const double f =
-            (static_cast<double>(verts[vi * 3 + ax]) - origin[ax]) / dx;
-        if (f < fmin[ax]) fmin[ax] = f;
-        if (f > fmax[ax]) fmax[ax] = f;
-      }
-    }
+    TriGeom g;
+    tri_geom(verts, tris + t * 3, origin, dx, &g);
     // reference window: clamp(int(min)-band, 0, n-1) ..
     // clamp(int(max)+band+1, 0, n-1), int() = C truncation
     const int64_t dims[3] = {ni, nj, nk};
     const int64_t tile[3] = {ti, tj, tk};
     int64_t tlo[3], thi[3];
     for (int ax = 0; ax < 3; ++ax) {
-      int64_t lo = static_cast<int64_t>(std::trunc(fmin[ax])) - band;
-      int64_t hi = static_cast<int64_t>(std::trunc(fmax[ax])) + band + 1;
+      int64_t lo = static_cast<int64_t>(std::trunc(g.fmin[ax])) - band;
+      int64_t hi = static_cast<int64_t>(std::trunc(g.fmax[ax])) + band + 1;
       if (lo < 0) lo = 0;
       if (lo > dims[ax] - 1) lo = dims[ax] - 1;
       if (hi < 0) hi = 0;
@@ -85,7 +161,8 @@ int sdfbin_count(
     for (int64_t a = tlo[0]; a <= thi[0]; ++a)
       for (int64_t b = tlo[1]; b <= thi[1]; ++b)
         for (int64_t c2 = tlo[2]; c2 <= thi[2]; ++c2)
-          counts[(a * ntj + b) * ntk + c2] += 1;
+          if (keep_tile(g, tile, dims, a, b, c2, band))
+            counts[(a * ntj + b) * ntk + c2] += 1;
   }
 
   int64_t active = 0, kmax = 0;
@@ -137,23 +214,14 @@ int sdfbin_fill(
   }
 
   for (int64_t t = 0; t < nt; ++t) {
-    double fmin[3] = {1e300, 1e300, 1e300};
-    double fmax[3] = {-1e300, -1e300, -1e300};
-    for (int v = 0; v < 3; ++v) {
-      const uint32_t vi = tris[t * 3 + v];
-      for (int ax = 0; ax < 3; ++ax) {
-        const double f =
-            (static_cast<double>(verts[vi * 3 + ax]) - origin[ax]) / dx;
-        if (f < fmin[ax]) fmin[ax] = f;
-        if (f > fmax[ax]) fmax[ax] = f;
-      }
-    }
+    TriGeom g;
+    tri_geom(verts, tris + t * 3, origin, dx, &g);
     const int64_t dims[3] = {ni, nj, nk};
     const int64_t tile[3] = {ti, tj, tk};
     int64_t tlo[3], thi[3];
     for (int ax = 0; ax < 3; ++ax) {
-      int64_t lo = static_cast<int64_t>(std::trunc(fmin[ax])) - band;
-      int64_t hi = static_cast<int64_t>(std::trunc(fmax[ax])) + band + 1;
+      int64_t lo = static_cast<int64_t>(std::trunc(g.fmin[ax])) - band;
+      int64_t hi = static_cast<int64_t>(std::trunc(g.fmax[ax])) + band + 1;
       if (lo < 0) lo = 0;
       if (lo > dims[ax] - 1) lo = dims[ax] - 1;
       if (hi < 0) hi = 0;
@@ -164,6 +232,7 @@ int sdfbin_fill(
     for (int64_t i = tlo[0]; i <= thi[0]; ++i)
       for (int64_t j = tlo[1]; j <= thi[1]; ++j)
         for (int64_t k = tlo[2]; k <= thi[2]; ++k) {
+          if (!keep_tile(g, tile, dims, i, j, k, band)) continue;
           const int64_t lin = (i * ntj + j) * ntk + k;
           const int64_t r = row[lin];
           const int64_t pos = counts[lin]++;
