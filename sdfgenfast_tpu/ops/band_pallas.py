@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["band_csr_from_binning", "band_rows_pallas", "CHUNK"]
 
-CHUNK = 8  # candidates per inner step (one sublane tile)
+CHUNK = 16  # candidates per inner step (two sublane tiles: halves loop overhead)
 _SENT = np.float32(3e18)  # sentinel vertex coordinate: far away, degenerate
 
 
