@@ -30,9 +30,6 @@ void set_err(char* err, int errlen, const char* msg) {
   }
 }
 
-
-namespace {
-
 // Exact-overlap prune: a pair (triangle, tile) is kept only when a LOWER
 // BOUND on the distance (in cell units) from the tile's cell box to the
 // triangle is <= band + eps. Two bounds, both separating-axis style:
@@ -128,6 +125,7 @@ int sdfbin_count(
     const double* origin, double dx,
     int32_t ni, int32_t nj, int32_t nk,
     int32_t band, int32_t ti, int32_t tj, int32_t tk,
+    int32_t prune,    // 0: legacy L-inf bbox dilation; 1: exact-overlap
     int64_t* counts,  // (nti*ntj*ntk,) zeros on entry
     int64_t* out_active, int64_t* out_kmax,
     char* err, int errlen) {
@@ -161,7 +159,7 @@ int sdfbin_count(
     for (int64_t a = tlo[0]; a <= thi[0]; ++a)
       for (int64_t b = tlo[1]; b <= thi[1]; ++b)
         for (int64_t c2 = tlo[2]; c2 <= thi[2]; ++c2)
-          if (keep_tile(g, tile, dims, a, b, c2, band))
+          if (!prune || keep_tile(g, tile, dims, a, b, c2, band))
             counts[(a * ntj + b) * ntk + c2] += 1;
   }
 
@@ -187,6 +185,7 @@ int sdfbin_fill(
     const double* origin, double dx,
     int32_t ni, int32_t nj, int32_t nk,
     int32_t band, int32_t ti, int32_t tj, int32_t tk,
+    int32_t prune,
     int64_t* counts,  // pass-1 per-tile counts; clobbered
     int64_t K,
     int32_t* active_ids, int32_t* cand, uint8_t* valid,
@@ -232,7 +231,7 @@ int sdfbin_fill(
     for (int64_t i = tlo[0]; i <= thi[0]; ++i)
       for (int64_t j = tlo[1]; j <= thi[1]; ++j)
         for (int64_t k = tlo[2]; k <= thi[2]; ++k) {
-          if (!keep_tile(g, tile, dims, i, j, k, band)) continue;
+          if (prune && !keep_tile(g, tile, dims, i, j, k, band)) continue;
           const int64_t lin = (i * ntj + j) * ntk + k;
           const int64_t r = row[lin];
           const int64_t pos = counts[lin]++;

@@ -96,6 +96,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 c.POINTER(c.c_double), c.c_double,
                 c.c_int32, c.c_int32, c.c_int32,
                 c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+                c.c_int32,  # prune
                 c.POINTER(c.c_int64),
                 c.POINTER(c.c_int64), c.POINTER(c.c_int64),
                 c.c_char_p, c.c_int,
@@ -107,6 +108,7 @@ def _load() -> Optional[ctypes.CDLL]:
                 c.POINTER(c.c_double), c.c_double,
                 c.c_int32, c.c_int32, c.c_int32,
                 c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+                c.c_int32,  # prune
                 c.POINTER(c.c_int64), c.c_int64,
                 c.POINTER(c.c_int32), c.POINTER(c.c_int32),
                 c.POINTER(c.c_uint8),
@@ -274,7 +276,7 @@ def read_sdf(path: str):
 
 def bin_triangles_native(verts: np.ndarray, tris: np.ndarray, origin,
                          dx: float, shape, band: int, tile_shape,
-                         pad_k_to: int = 8):
+                         pad_k_to: int = 8, prune: bool = True):
     """Native two-pass band binning (csrc/sdfbin.cpp); bit-identical to the
     NumPy path in ops/band.bin_triangles. Returns (active_ids, cand, valid,
     tiles_dim) or None when the native library is unavailable."""
@@ -297,7 +299,7 @@ def bin_triangles_native(verts: np.ndarray, tris: np.ndarray, origin,
         verts32.ctypes.data_as(c.POINTER(c.c_float)), len(verts32),
         tris32.ctypes.data_as(c.POINTER(c.c_uint32)), len(tris32),
         origin64.ctypes.data_as(c.POINTER(c.c_double)), dx64,
-        ni, nj, nk, band, ti, tj, tk,
+        ni, nj, nk, band, ti, tj, tk, int(prune),
         counts.ctypes.data_as(c.POINTER(c.c_int64)),
         c.byref(a_out), c.byref(k_out), err, 256,
     )
@@ -316,7 +318,7 @@ def bin_triangles_native(verts: np.ndarray, tris: np.ndarray, origin,
         verts32.ctypes.data_as(c.POINTER(c.c_float)), len(verts32),
         tris32.ctypes.data_as(c.POINTER(c.c_uint32)), len(tris32),
         origin64.ctypes.data_as(c.POINTER(c.c_double)), dx64,
-        ni, nj, nk, band, ti, tj, tk,
+        ni, nj, nk, band, ti, tj, tk, int(prune),
         counts.ctypes.data_as(c.POINTER(c.c_int64)), K,
         active.ctypes.data_as(c.POINTER(c.c_int32)),
         cand.ctypes.data_as(c.POINTER(c.c_int32)),

@@ -165,7 +165,8 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
     seed_band = max(config.exact_band, 3 if config.far_field == "exact" else config.exact_band)
     bin_band = seed_band  # recorded in Binned: the freeze threshold ceiling
     bb = band_ops.bin_triangles(
-        mesh.verts, mesh.tris, grid, seed_band, config.tile_shape
+        mesh.verts, mesh.tris, grid, seed_band, config.tile_shape,
+        prune=config.far_field == "exact",
     )
 
     def pad_band(bb):
