@@ -45,7 +45,60 @@ from ..ops import sign_host as sign_host_ops
 from ..ops import tiled as tiled_ops
 from ..pipeline import SDFConfig, _recompute_phi, use_dense
 
-__all__ = ["make_device_mesh", "ShardedBinned", "bin_mesh_sharded", "sharded_sdf"]
+__all__ = ["make_device_mesh", "ShardedBinned", "bin_mesh_sharded",
+           "sharded_sdf", "halo_comms_model"]
+
+
+def halo_comms_model(grid_shape, dims, max_hop, extra_rounds=None,
+                     chamfer_passes=2):
+    """Exact per-round communication accounting of the sharded far field.
+
+    The compiled program's collectives are fully determined by the config:
+    each capped-ladder VDT round exchanges ONE corner-complete halo of depth
+    s on each sharded axis via two ppermute phases (j-planes of the (5, ni,
+    nj_l, nk_l) state, then k-planes of the j-extended block), and each
+    chamfer pass exchanges 1-cell halos of the (ni, nj_l, nk_l) scalar
+    field the same way. Each phase sends BOTH directions (lo and hi
+    neighbors). Returns the round-by-round byte counts so real-slice
+    deployments can size max_hop:
+
+    total VDT bytes/device ~= sum_s 2 * 5 * 4 * ni * s * (nk_l + (nj_l+2s))
+    — larger hops mean FEWER rounds (the ladder repeats the cap until the
+    full reach is covered) at proportionally larger slabs, so TOTAL bytes
+    are nearly hop-independent while ppermute LATENCY counts scale with
+    round count: on real ICI (~1 us/collective, ~100 GB/s/link) the slabs
+    are bandwidth-sized from ~1 MB up, so the policy is max_hop = the shard
+    block (the largest legal value), which `sharded_sdf` applies when
+    config.vdt_max_hop is None.
+    """
+    ni, nj, nk = grid_shape
+    Dj, Dk = dims
+    nj_l, nk_l = nj // Dj, nk // Dk
+    if extra_rounds is None:
+        extra_rounds = 2 if max(grid_shape) <= 256 else 4
+    strides = vdt_ops.stride_ladder(
+        max(grid_shape), max_hop=max_hop, extra_rounds=extra_rounds)
+    rounds = []
+    f32 = 4
+    for s_ in strides:
+        # j phase: two directed sends of (5, ni, s, nk_l); k phase operates
+        # on the j-extended block: (5, ni, nj_l + 2s, s)
+        j_bytes = 2 * 5 * f32 * ni * s_ * nk_l
+        k_bytes = 2 * 5 * f32 * ni * (nj_l + 2 * s_) * s_
+        rounds.append({"stride": int(s_), "halo_bytes": j_bytes + k_bytes})
+    cham_bytes = chamfer_passes * (
+        2 * f32 * ni * nk_l + 2 * f32 * ni * (nj_l + 2))
+    return {
+        "grid": list(grid_shape),
+        "device_mesh": [Dj, Dk],
+        "max_hop": int(max_hop),
+        "vdt_rounds": len(strides),
+        "rounds": rounds,
+        "vdt_total_bytes_per_device": int(sum(r["halo_bytes"]
+                                              for r in rounds)),
+        "chamfer_bytes_per_device": int(cham_bytes),
+        "ppermute_calls": 2 * len(strides) + 2 * chamfer_passes,
+    }
 
 
 def make_device_mesh(devices=None, shape: Optional[Tuple[int, int]] = None) -> Mesh:
