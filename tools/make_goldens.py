@@ -35,10 +35,17 @@ def main():
     ap.add_argument("--ref-binary", default="/tmp/refbuild/bin/SDFGen")
     ap.add_argument("--sparse-256", action="store_true",
                     help="only (re)generate the sparse 256-class golden")
+    ap.add_argument("--sparse-512", action="store_true",
+                    help="only (re)generate the sparse 512-class golden")
+    ap.add_argument("--from", dest="from_sdf", default=None,
+                    help="harvest an existing reference .sdf (sparse-512)")
     args = ap.parse_args()
 
     if args.sparse_256:
         make_sparse_golden_256(args.ref_binary)
+        return
+    if args.sparse_512:
+        sparse_512(args.ref_binary, from_sdf=args.from_sdf)
         return
 
     os.makedirs(RESOURCES, exist_ok=True)
@@ -160,6 +167,59 @@ def make_sparse_golden_256(ref_binary="/tmp/refbuild/bin/SDFGen"):
     )
     print("sparse 256 golden written:",
           os.path.join(GOLDENS, "sphere6_stl_256_mode2a.sparse.npz"))
+
+
+def sparse_512(ref_binary, from_sdf=None):
+    """512-class sparse parity golden for the icosphere6 mode-2a config.
+
+    A full 512-cubed .sdf is 512 MB; the sparse form keeps the sign of
+    EVERY cell (bit-packed), every 4th near-band cell's exact value, and a
+    stride-8 far-field subsample — the same bars as the 256 sparse test at
+    the 512 scale. `--from <path>` harvests an .sdf already produced by the
+    reference binary (e.g. a rebaseline run) instead of re-running the
+    ~11-minute single-thread computation.
+    Usage: python tools/make_goldens.py --sparse-512 [--from path.sdf]
+    """
+    import numpy as np
+    from sdfgenfast_tpu.io import sdf_io
+
+    if from_sdf is None:
+        workdir = os.path.join("/tmp", "golden_work512")
+        shutil.rmtree(workdir, ignore_errors=True)
+        os.makedirs(workdir)
+        shutil.copy(os.path.join(RESOURCES, "icosphere6.stl"),
+                    os.path.join(workdir, "icosphere6.stl"))
+        cmd = [ref_binary, "icosphere6.stl", "512", "1", "1"]
+        print("::", " ".join(cmd))
+        out = subprocess.run(cmd, cwd=workdir, capture_output=True,
+                             text=True, timeout=4 * 3600)
+        if out.returncode != 0:
+            print(out.stdout)
+            print(out.stderr)
+            raise SystemExit("reference binary failed for sphere6_512")
+        produced = [f for f in os.listdir(workdir) if f.endswith(".sdf")]
+        assert len(produced) == 1, produced
+        from_sdf = os.path.join(workdir, produced[0])
+    phi, bmin, bmax = sdf_io.read_sdf(from_sdf)
+    assert phi.shape == (512, 512, 512), phi.shape
+    ni = phi.shape[0]
+    dx = float((bmax[0] - bmin[0]) / ni)
+
+    signs = np.packbits((phi < 0).reshape(-1))
+    band = np.flatnonzero(np.abs(phi).reshape(-1) < 2 * dx).astype(np.int64)
+    band = band[::4]  # every 4th band cell: full-resolution values
+    band_val = phi.reshape(-1)[band]
+    sample = phi[::8, ::8, ::8].copy()
+    np.savez_compressed(
+        os.path.join(GOLDENS, "sphere6_stl_512_mode2a.sparse.npz"),
+        dims=np.asarray(phi.shape, np.int32),
+        bmin=bmin, bmax=bmax, dx=np.float64(dx),
+        packed_signs=signs, band_idx=band, band_val=band_val,
+        far_sample_stride8=sample,
+        reference_output_name=np.bytes_(os.path.basename(from_sdf)),
+    )
+    print("sparse 512 golden written:",
+          os.path.join(GOLDENS, "sphere6_stl_512_mode2a.sparse.npz"))
 
 
 if __name__ == "__main__":
