@@ -141,6 +141,24 @@ def _bucket(n: int, minimum: int = 64, shift: int = 4) -> int:
     return -(-n // p) * p
 
 
+def _vdt_axis_perm(grid_shape):
+    """Axis order for the pyramid VDT: largest dim on lanes (k), next on
+    sublanes (j) — minimizes the lane-padded cell count roundup(k, 128) *
+    j * i. Identity when it's already minimal (ties keep identity)."""
+    best = (0, 1, 2)
+
+    def padded_cells(p):
+        d = [grid_shape[p[0]], grid_shape[p[1]], grid_shape[p[2]]]
+        return d[0] * d[1] * (-(-d[2] // 128) * 128)
+
+    import itertools
+
+    for p in itertools.permutations((0, 1, 2)):
+        if padded_cells(p) < padded_cells(best):
+            best = p
+    return best
+
+
 def use_dense(config: SDFConfig, num_tris: int) -> bool:
     """True when the fused all-triangles kernel replaces band+JFA."""
     cap = min(config.dense_max_tris, dense_ops.DENSE_MAX_TRIS)
@@ -392,10 +410,30 @@ def _exact_core(
         # XLA gather it needs measured 1.1 s at 256-class on the real chip,
         # dwarfing the whole pipeline. The differentiable path still pays it
         # in `_recompute_stage`, where gradient flow requires it anyway.)
-        phi, tid = vdt_ops.vdt_pyramid_far_field(
-            cpx, cpy, cpz, tid0, phi0, dx, freeze_mask=freeze,
-            extra_polish=extra_polish, use_pallas=use_pallas,
-        )
+        #
+        # Axis permutation: the VDT's k axis lives on TPU lanes and pads to
+        # a 128 multiple (the torus' 75-deep k would waste 1.7x), so run
+        # the pyramid with the grid axes reordered to put the LARGEST dim
+        # on lanes. The VDT is axis-symmetric (per-axis positions + the
+        # matching cp channel order); cells are cubic, so only the channel
+        # order and the field transposes need permuting.
+        perm = _vdt_axis_perm(grid_shape)
+        if perm == (0, 1, 2):
+            phi, tid = vdt_ops.vdt_pyramid_far_field(
+                cpx, cpy, cpz, tid0, phi0, dx, freeze_mask=freeze,
+                extra_polish=extra_polish, use_pallas=use_pallas,
+            )
+        else:
+            cps = (cpx, cpy, cpz)
+            t = lambda x: jnp.transpose(x, perm)  # noqa: E731
+            phi_p, tid_p = vdt_ops.vdt_pyramid_far_field(
+                t(cps[perm[0]]), t(cps[perm[1]]), t(cps[perm[2]]),
+                t(tid0), t(phi0), dx, freeze_mask=t(freeze),
+                extra_polish=extra_polish, use_pallas=use_pallas,
+            )
+            inv = tuple(np.argsort(perm))
+            phi = jnp.transpose(phi_p, inv)
+            tid = jnp.transpose(tid_p, inv)
     else:
         phi, tid = vdt_ops.vdt_far_field(
             cpx, cpy, cpz, tid0, phi0, dx, strides, freeze_mask=freeze,

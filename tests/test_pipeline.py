@@ -202,3 +202,17 @@ class TestCrossingsTransport:
             make_level_set3(mesh, grid,
                             SDFConfig(parity_transport="bogus",
                                       dense_max_tris=0))
+
+
+class TestVdtAxisPermutation:
+    """Non-cubic grids run the pyramid VDT with axes permuted (largest dim
+    on TPU lanes); results must stay oracle-accurate in the original
+    orientation."""
+
+    def test_flat_grid_against_oracle(self):
+        m = icosphere(2, radius=1.0, center=(0.04, -0.02, 0.03))
+        # k much smaller than i/j: the permutation moves j/i onto lanes
+        g = GridSpec((-1.4, -1.4, -0.35), 0.09, (32, 32, 8))
+        from sdfgenfast_tpu.pipeline import _vdt_axis_perm
+        assert _vdt_axis_perm(g.shape) != (0, 1, 2)
+        _check_against_oracle(m, g)
