@@ -88,12 +88,15 @@ def main():
         "analytic_per_hop": analytic,
         "measured_wall_s_virtual_cpu_mesh": measured,
         "verdict": (
-            "Total halo bytes are nearly invariant in max_hop (the capped "
-            "ladder repeats smaller hops proportionally more), so the "
-            "virtual-mesh efficiency cliff is 8-programs-on-2-cores "
-            "CONTENTION, not communication. Policy for real slices: "
-            "max_hop = shard block (fewest ppermute latencies; slabs are "
-            "bandwidth-sized for ICI from ~1 MB)."),
+            "Measured wall on the virtual mesh tracks the capped-ladder "
+            "ROUND COUNT (70 rounds @ hop 8 -> 17 @ hop 64: wall 131 s -> "
+            "45 s), i.e. full-grid compute passes, while total halo bytes "
+            "rise only 25% (65.9 -> 82.5 MB/device) — and 8 shard "
+            "programs time-slice 2 host cores, so absolute walls are "
+            "CONTENTION-bound, not comms-bound. Policy for real slices: "
+            "vdt_max_hop = shard block — fewest rounds (compute) AND "
+            "fewest ppermute latencies, for a modest byte increase; slabs "
+            "are ICI-bandwidth-sized (1-10 MB) at every hop."),
     }
     with open(base_path, "w") as f:
         json.dump(base, f, indent=2)
