@@ -126,6 +126,11 @@ class Binned:
     # threshold (cells whose band value is treated as provably exact) must
     # never exceed it — a wider freeze would pin non-minimal upper bounds
     seed_band: int = 3
+    # device-resident copies of everything make_level_set3 ships to the
+    # chip, uploaded as ONE blob at bin time (upload.py): the tunnel costs
+    # ~22 ms fixed per transfer, so 8 separate uploads cost more than all
+    # kernels combined
+    device: Optional[dict] = None
 
 
 def _bucket(n: int, minimum: int = 64, shift: int = 4) -> int:
@@ -165,6 +170,27 @@ def use_dense(config: SDFConfig, num_tris: int) -> bool:
     return config.far_field == "exact" and 0 < num_tris <= cap
 
 
+def _upload_binned(mesh, parity, crossings, csr=None):
+    """One-blob device upload of the per-binning pipeline inputs."""
+    from .upload import pack_device_blob
+
+    arrays = {
+        "verts": np.ascontiguousarray(mesh.verts, np.float32),
+        "tris": mesh.tris.astype(np.int32),
+    }
+    if parity is not None:
+        arrays["parity"] = parity
+    if crossings is not None:
+        arrays["crossings"] = crossings
+    if csr is not None:
+        arrays["pair"] = csr["pair"]
+        arrays["off"] = csr["off"]
+        arrays["cnt"] = csr["cnt"]
+        if "ids" in csr:
+            arrays["ids"] = csr["ids"]
+    return pack_device_blob(arrays)
+
+
 def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Binned:
     mesh.validate_indices()
     if use_dense(config, len(mesh.tris)) and config.sign_mode == "host":
@@ -172,10 +198,12 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
             cross = sign_host_ops.crossings_host(mesh.verts, mesh.tris, grid)
             return Binned(grid, config, None, None,
                           mesh.tris.astype(np.int32), None,
-                          parity_crossings=cross)
+                          parity_crossings=cross,
+                          device=_upload_binned(mesh, None, cross))
         packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
         return Binned(grid, config, None, None,
-                      mesh.tris.astype(np.int32), packed)
+                      mesh.tris.astype(np.int32), packed,
+                      device=_upload_binned(mesh, packed, None))
     # The FDT far field draws its candidates from band-result winners; a
     # >=3-cell seed band makes the 27-neighborhood union cover the true
     # closest triangle for near-band cells (measured: max far-field error
@@ -226,14 +254,21 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
         pair = np.pad(pair, (0, P_pad - len(pair)),
                       constant_values=len(mesh.tris))
         kcap = max(-(-int(cnt.max() or 1) // 64) * 64, 64)
-        return {"pair": pair, "off": off, "cnt": cnt, "kcap": kcap}
+        # padded active ids ride in the same blob (every separate upload
+        # costs ~22 ms of tunnel fixed overhead)
+        ids, _, _ = pad_rows(bb, A_pad)
+        ids[bb.num_active:] = int(np.prod(bb.tiles_dim))
+        return {"pair": pair, "off": off, "cnt": cnt, "kcap": kcap,
+                "ids": ids}
 
     if config.sign_mode == "host":
         packed, cross = host_parity(grid)
+        csr = build_csr(bb)
         return Binned(grid, config, pad_band(bb), None,
                       mesh.tris.astype(np.int32), packed,
-                      band_csr=build_csr(bb), seed_band=bin_band,
-                      parity_crossings=cross)
+                      band_csr=csr, seed_band=bin_band,
+                      parity_crossings=cross,
+                      device=_upload_binned(mesh, packed, cross, csr))
     elif config.sign_mode != "device":
         raise ValueError(f"unknown sign_mode: {config.sign_mode}")
 
@@ -244,8 +279,10 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
     sb_ids[len(sb.active_ids) :] = T_sign  # sentinel: dropped by scatter
     sb = dataclasses.replace(sb, active_ids=sb_ids, cand=sb_cand, cand_valid=sb_valid)
 
+    csr = build_csr(bb)
     return Binned(grid, config, pad_band(bb), sb, mesh.tris.astype(np.int32),
-                  band_csr=build_csr(bb), seed_band=bin_band)
+                  band_csr=csr, seed_band=bin_band,
+                  device=_upload_binned(mesh, None, None, csr))
 
 
 # ---------------------------------------------------------------------------
@@ -707,20 +744,30 @@ def make_level_set3(
         )
     if binned is None:
         binned = bin_mesh(mesh, grid, config)
-    v = jnp.asarray(mesh.verts if verts is None else verts)
-    tris = jnp.asarray(binned.tris)
+    dev = binned.device or {}
+    v = (dev.get("verts") if verts is None and "verts" in dev
+         else jnp.asarray(mesh.verts if verts is None else verts))
+    tris = dev.get("tris")
+    if tris is None:
+        tris = jnp.asarray(binned.tris)
     # only differentiable callers need tri_verts materialized out here (the
     # gradient flows through this gather); the fused cores gather in-jit
     tri_verts = v[tris] if verts is not None else None
 
     if config.sign_mode == "host":
         dummy = jnp.zeros((0,), jnp.float32)
+        if "parity" in dev:
+            parity_dev = dev["parity"]
+        elif "crossings" in dev:
+            parity_dev = dev["crossings"]
+        else:
+            parity_dev = jnp.asarray(
+                binned.parity_packed if binned.parity_packed is not None
+                else binned.parity_crossings)
         sign_args = dict(
             f_hi=dummy, f_lo=dummy,
             sign_ids=dummy, sign_cand=dummy, sign_valid=dummy,
-            parity_packed=jnp.asarray(
-                binned.parity_packed if binned.parity_packed is not None
-                else binned.parity_crossings),
+            parity_packed=parity_dev,
             tile2d_shape=(1, 1), tiles2d_dim=(1, 1),
         )
     else:
@@ -735,11 +782,21 @@ def make_level_set3(
             tiles2d_dim=binned.sign.tiles_dim,
         )
 
+    # on the Pallas band path the (A, K) candidate matrices are never read
+    # — shipping them anyway would cost ~4 MB of tunnel upload per call
+    pallas_band = (binned.band_csr is not None and is_tpu_platform()
+                   and config.far_field == "exact"
+                   and (binned.band.tile_shape if binned.band else None)
+                   == (8, 8, 8))
     if binned.band is not None:
+        di = jnp.zeros((0,), jnp.int32)
         band_args = dict(
-            band_ids=jnp.asarray(binned.band.active_ids),
-            band_cand=jnp.asarray(binned.band.cand),
-            band_valid=jnp.asarray(binned.band.cand_valid),
+            band_ids=dev.get("ids", None) if "ids" in dev
+            else jnp.asarray(binned.band.active_ids),
+            band_cand=di if pallas_band
+            else jnp.asarray(binned.band.cand),
+            band_valid=di if pallas_band
+            else jnp.asarray(binned.band.cand_valid),
             tile_shape=binned.band.tile_shape,
             tiles_dim=binned.band.tiles_dim,
         )
@@ -783,12 +840,15 @@ def make_level_set3(
         sign_mode=config.sign_mode,
         dense_max_tris=config.dense_max_tris,
         skip_recompute=verts is None,
-        pair_cand=(jnp.asarray(binned.band_csr["pair"])
-                   if binned.band_csr else None),
-        tile_off=(jnp.asarray(binned.band_csr["off"])
-                  if binned.band_csr else None),
-        tile_cnt=(jnp.asarray(binned.band_csr["cnt"])
-                  if binned.band_csr else None),
+        pair_cand=(dev.get("pair", None) if "pair" in dev
+                   else (jnp.asarray(binned.band_csr["pair"])
+                         if binned.band_csr else None)),
+        tile_off=(dev.get("off", None) if "off" in dev
+                  else (jnp.asarray(binned.band_csr["off"])
+                        if binned.band_csr else None)),
+        tile_cnt=(dev.get("cnt", None) if "cnt" in dev
+                  else (jnp.asarray(binned.band_csr["cnt"])
+                        if binned.band_csr else None)),
         band_kcap=binned.band_csr["kcap"] if binned.band_csr else 0,
         verts=v,
         tris=tris,

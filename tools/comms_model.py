@@ -7,10 +7,10 @@ The virtual 8-device CPU mesh shares 2 physical host cores, so its wall
 clocks measure CORE CONTENTION (8 shard programs time-slicing 2 cores), not
 interconnect cost. The analytic model gives the exact bytes each compiled
 ppermute moves — deterministic from the config — which is what real ICI
-would carry. Together they separate the two effects: the measured sweep
-shows wall time is nearly FLAT in max_hop (hop changes bytes/round 16x but
-wall <10%), while the model shows total bytes are also nearly hop-invariant;
-the virtual-mesh "efficiency cliff" is therefore contention, not comms.
+would carry. Measured (2026-08): wall tracks the capped ladder's ROUND
+COUNT (70 rounds @ hop 8 -> 17 @ hop 64: 131 s -> 45 s) while total bytes
+rise only 25% — the virtual-mesh "efficiency cliff" is contention plus
+round count, not interconnect cost.
 
 Publishes BASELINE.json["published"]["sharded_comms_model"].
 

@@ -46,7 +46,7 @@ from sdfgenfast_tpu.pipeline import (
 )
 
 
-def timed(name, fn, *args, repeats=3, **kw):
+def timed(name, fn, *args, repeats=3, return_time=False, **kw):
     out = fn(*args, **kw)
     jax.block_until_ready(out)
     ts = []
@@ -56,6 +56,8 @@ def timed(name, fn, *args, repeats=3, **kw):
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     print(f"  {name:28s} {min(ts)*1e3:9.2f} ms", flush=True)
+    if return_time:
+        return out, round(min(ts) * 1e3, 1)
     return out
 
 
@@ -84,11 +86,13 @@ def run_e2e(mesh, grid, cfg, binned):
     trace_dir = os.environ.get("PROFILE_TRACE", "")
     full = make_level_set3(mesh, grid, cfg, binned=binned)  # compile
     full.block_until_ready()
+    best = None
     for r in range(3):
         t0 = time.perf_counter()
         full = make_level_set3(mesh, grid, cfg, binned=binned)
         full.block_until_ready()
         t = time.perf_counter() - t0
+        best = t if best is None else min(best, t)
         print(f"  {'END-TO-END (warm)':28s} {t*1e3:9.2f} ms "
               f"-> {grid.num_cells/t/1e6:.0f}M vox/s", flush=True)
     if trace_dir:
@@ -96,9 +100,11 @@ def run_e2e(mesh, grid, cfg, binned):
             full = make_level_set3(mesh, grid, cfg, binned=binned)
             full.block_until_ready()
         print(f"  trace written to {trace_dir}")
+    return round(best * 1e3, 1)
 
 
 def profile(nx, mesh_name="box", force_tiled=False):
+    import numpy as np  # noqa: F811 — used by the tiled stage breakdown
     if mesh_name == "box":
         mesh = box_mesh((3, 4, 5), (-1, -1, -1))
     elif mesh_name == "torus":
@@ -118,66 +124,77 @@ def profile(nx, mesh_name="box", force_tiled=False):
 
     t0 = time.perf_counter()
     binned = bin_mesh(mesh, grid, cfg)
-    print(f"  {'bin_mesh (host)':28s} {(time.perf_counter()-t0)*1e3:9.2f} ms "
-          f"(A={binned.band.num_active}, K={binned.band.max_candidates})",
-          flush=True)
+    t_bin = time.perf_counter() - t0
+    print(f"  {'bin_mesh (host)':28s} {t_bin*1e3:9.2f} ms "
+          f"(A={binned.band.num_active}, K={binned.band.max_candidates}, "
+          f"P={len(binned.band_csr['pair'])})", flush=True)
+
+    from sdfgenfast_tpu.ops import band_pallas
+    from sdfgenfast_tpu.ops.vdt_pallas import pallas_chamfer
+    from sdfgenfast_tpu.platform import is_tpu_platform
 
     tris = jnp.asarray(binned.tris)
     tri_verts = jnp.asarray(mesh.verts)[tris]
     origin = jnp.asarray(grid.origin, jnp.float32)
     dx = jnp.float32(grid.dx)
     ni, nj, nk = grid.shape
-    upper = jnp.float32(ni + nj + nk) * dx
 
     bb = binned.band
+    csr = binned.band_csr
     b_ids = jnp.asarray(bb.active_ids)
-    b_cand = jnp.asarray(bb.cand)
-    b_valid = jnp.asarray(bb.cand_valid)
+    stages = {"bin_host_ms": round(t_bin * 1e3, 1)}
 
     band = jax.jit(partial(
-        tiled_ops.tile_candidate_rows,
-        tile_shape=bb.tile_shape, tiles_dim=bb.tiles_dim,
-        grid_shape=grid.shape, chunk=cfg.band_chunk,
+        band_pallas.band_rows_pallas, kcap=csr["kcap"],
+        tiles_dim=bb.tiles_dim, grid_shape=grid.shape,
+        interpret=not is_tpu_platform(),
     ))
-    phi_rows, tid_rows = timed(
-        "band rows (eval)", band, tri_verts, b_ids, b_cand, b_valid, origin, dx
-    )
+    out, t = timed(
+        "band kernel (pallas, fused cp)", band, tri_verts - origin,
+        jnp.asarray(csr["pair"]), b_ids, jnp.asarray(csr["off"]),
+        jnp.asarray(csr["cnt"]), dx, return_time=True)
+    stages["band_pallas_ms"] = t
+    phi_r, tid_r, cpx_r, cpy_r, cpz_r = out
 
-    table = tiled_ops.tri_affine_table(tri_verts - origin)
-    cps = jax.jit(partial(
-        tiled_ops.closest_point_rows,
-        tile_shape=bb.tile_shape, tiles_dim=bb.tiles_dim, chunk=cfg.band_chunk,
-    ))
-    cp_rows = timed("closest-point rows", cps, table, b_ids, tid_rows, dx)
+    T = int(np.prod(bb.tiles_dim))
+    unt = jax.jit(partial(tiled_ops.untile_rows, tile_shape=bb.tile_shape,
+                          tiles_dim=bb.tiles_dim, grid_shape=grid.shape))
+    (phi0, t) = timed("untile (reshape/transpose)", unt, phi_r[:T],
+                      return_time=True)
+    stages["untile_ms"] = t
+    tid0 = unt(tid_r[:T])
+    cpx, cpy, cpz = unt(cpx_r[:T]), unt(cpy_r[:T]), unt(cpz_r[:T])
 
-    scat = jax.jit(partial(
-        tiled_ops.scatter_untile,
-        tile_shape=bb.tile_shape, tiles_dim=bb.tiles_dim, grid_shape=grid.shape,
-    ))
-    phi0, tid0 = timed("scatter/untile", scat, phi_rows, tid_rows, b_ids, upper)
-    cpx, cpy, cpz = (
-        tiled_ops.scatter_rows(r, b_ids, vdt_ops.FAR, bb.tile_shape,
-                               bb.tiles_dim, grid.shape)
-        for r in cp_rows
-    )
+    freeze = (tid0 >= 0) & (phi0 <= 3.0 * dx)
+    pyr = jax.jit(partial(vdt_ops.vdt_pyramid_far_field,
+                          use_pallas=is_tpu_platform()))
+    (out, t) = timed("pyramid VDT (pallas rounds)", pyr, cpx, cpy, cpz,
+                     tid0, phi0, dx, freeze, return_time=True)
+    stages["pyramid_vdt_ms"] = t
+    phi, tid = out
 
-    extra = cfg.vdt_extra_rounds
-    if extra is None:  # the pipeline's auto policy (pipeline.py)
-        extra = 2 if max(grid.shape) <= 256 else 4
-    strides = vdt_ops.stride_ladder(
-        max(grid.shape), max_hop=cfg.vdt_max_hop, extra_rounds=extra,
-    )
-    vdt = jax.jit(partial(vdt_ops.vdt_far_field, strides=strides))
-    print(f"    (VDT strides {strides})")
-    phi, tid = timed("VDT far field", vdt, cpx, cpy, cpz, tid0, phi0, dx)
+    cham = jax.jit(partial(pallas_chamfer, passes=cfg.chamfer_passes,
+                           interpret=not is_tpu_platform()))
+    (phi, t) = timed("chamfer (pallas)", cham, phi, dx, return_time=True)
+    stages["chamfer_ms"] = t
 
-    cham = jax.jit(partial(vdt_ops.chamfer_relax, passes=cfg.chamfer_passes))
-    phi = timed("chamfer relax", cham, phi, dx)
+    (parity, t) = timed("unpack_parity", _unpack_parity_stage,
+                        jnp.asarray(binned.parity_packed), ni,
+                        return_time=True)
+    stages["parity_unpack_ms"] = t
 
-    parity = timed("unpack_parity", _unpack_parity_stage,
-                   jnp.asarray(binned.parity_packed), ni)
-
-    run_e2e(mesh, grid, cfg, binned)
+    e2e = run_e2e(mesh, grid, cfg, binned)
+    stages["e2e_warm_ms"] = e2e
+    if "publish" in sys.argv:
+        import json
+        path = os.path.join(REPO, "BASELINE.json")
+        with open(path) as f:
+            base = json.load(f)
+        base.setdefault("published", {}).setdefault(
+            "stage_breakdown", {})[f"{mesh_name}_{nx}"] = stages
+        with open(path, "w") as f:
+            json.dump(base, f, indent=2)
+        print(f"  published stage_breakdown[{mesh_name}_{nx}]")
 
 
 if __name__ == "__main__":
