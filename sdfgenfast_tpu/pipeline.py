@@ -69,10 +69,11 @@ class SDFConfig:
     sign_mode: str = "host"
     # host-mode parity transport to the device: "packed" ships the bit-packed
     # (ni/8, nj, nk) field (one fused unpack op); "crossings" ships only the
-    # per-column crossing positions ((C, nj, nk) int16, typically ~C/ni * 1/8
-    # the bytes) and reconstructs parity on device as XOR of compares — for
-    # bandwidth-constrained host links (csrc/sdfparity.cpp crossings path)
-    parity_transport: str = "packed"
+    # per-column crossing positions ((C, nj, nk) int16) and reconstructs
+    # parity on device as XOR of compares; "auto" (default) picks whichever
+    # is smaller (crossings wins whenever max crossings/column < ni/16 —
+    # every benchmark mesh; the host link here costs ~16 ms/MB)
+    parity_transport: str = "auto"
     tile_shape: Tuple[int, int, int] = band_ops.DEFAULT_TILE
     tile2d_shape: Tuple[int, int] = sign_ops.DEFAULT_TILE_2D
     # safety cap only — the propagation while_loop exits as soon as a full
@@ -233,10 +234,17 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
         )
 
     def host_parity(grid):
-        if config.parity_transport == "crossings":
+        mode = config.parity_transport
+        if mode == "auto":
+            cross = sign_host_ops.crossings_host(mesh.verts, mesh.tris, grid)
+            # smaller transport wins: C int16 rows/column vs ni/8 bit bytes
+            if cross.shape[0] * 2 < -(-grid.shape[0] // 8):
+                return None, cross
+            mode = "packed"
+        if mode == "crossings":
             return None, sign_host_ops.crossings_host(
                 mesh.verts, mesh.tris, grid)
-        if config.parity_transport != "packed":
+        if mode != "packed":
             raise ValueError(
                 f"unknown parity_transport: {config.parity_transport}")
         return sign_host_ops.parity_packed_host(
