@@ -79,32 +79,57 @@ def _round_kernel(dx_ref, state_ref, out_ref, scratch, sems, *, stride,
     WI = BI + 2 * s
     bi = pl.program_id(0)
     bj = pl.program_id(1)
+    nbj = pl.num_programs(1)
+    last = (bi == pl.num_programs(0) - 1) & (bj == nbj - 1)
     dxf = dx_ref[0]
+
+    def window_copies(slot, bi_, bj_):
+        """Copy descriptors for the (bi_, bj_) block's window into
+        scratch[slot]: one clamped i window (untiled dim: dynamic offsets
+        legal; scratch row x holds global i0 - 2s + x) x three
+        provably-8-aligned j strips."""
+        i0_ = bi_ * BI
+        j0_ = bj_ * BJ
+        si_ = jnp.clip(i0_ - s, 0, ni - WI)
+        dst_i = si_ - i0_ + 2 * s
+        strips_j = (  # (dst offset, length, src start)
+            (0, _HJ, pl.multiple_of(jnp.clip(j0_ - _HJ, 0, nj - _HJ), 8)),
+            (_HJ, BJ, j0_),
+            (_HJ + BJ, _HJ,
+             pl.multiple_of(jnp.clip(j0_ + BJ, 0, nj - _HJ), 8)),
+        )
+        return [
+            pltpu.make_async_copy(
+                state_ref.at[:, pl.ds(si_, WI), pl.ds(sj_, lj), :],
+                scratch.at[slot, :, pl.ds(dst_i, WI), pl.ds(dj_, lj), :],
+                sems.at[slot, b],
+            )
+            for b, (dj_, lj, sj_) in enumerate(strips_j)
+        ]
+
+    def start_window(slot, bi_, bj_):
+        for c in window_copies(slot, bi_, bj_):
+            c.start()
+
+    # double-buffered window pipeline: prefetch the NEXT block's window
+    # while computing this one (the serialized form left the VPU idle for
+    # the full DMA on every block — ~40% of round time at 512-class)
+    g = bi * nbj + bj
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        start_window(0, 0, 0)
+
+    @pl.when(~last)  # no unwaited DMA may remain after the final step
+    def _():
+        nbi_ = bj + 1 < nbj
+        start_window(1 - slot,
+                     jnp.where(nbi_, bi, bi + 1),
+                     jnp.where(nbi_, bj + 1, 0))
 
     i0 = bi * BI
     j0 = bj * BJ
-    # one clamped i window (untiled dim: dynamic offsets legal); scratch
-    # row x holds global i0 - 2s + x, so the window [si, si+WI) lands at
-    # destination offset si - i0 + 2s (in [0, 2s])
-    si = jnp.clip(i0 - s, 0, ni - WI)
-    dst_i = si - i0 + 2 * s
-    # j strips: sublane dim -> sources must be provably 8-aligned
-    strips_j = (  # (dst offset, length, src start)
-        (0, _HJ, pl.multiple_of(jnp.clip(j0 - _HJ, 0, nj - _HJ), 8)),
-        (_HJ, BJ, j0),
-        (_HJ + BJ, _HJ, pl.multiple_of(jnp.clip(j0 + BJ, 0, nj - _HJ), 8)),
-    )
-    copies = [
-        pltpu.make_async_copy(
-            state_ref.at[:, pl.ds(si, WI), pl.ds(sj_, lj), :],
-            scratch.at[:, pl.ds(dst_i, WI), pl.ds(dj_, lj), :],
-            sems.at[b],
-        )
-        for b, (dj_, lj, sj_) in enumerate(strips_j)
-    ]
-    for c in copies:
-        c.start()
-
     # cell world positions (pyramid level `scale`): f32(index * scale) * dx
     gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (BI, 1, 1), 0)
     gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, BJ, 1), 1)
@@ -113,15 +138,16 @@ def _round_kernel(dx_ref, state_ref, out_ref, scratch, sems, *, stride,
     py = (gj * scale).astype(jnp.float32) * dxf
     pz = (gk * scale).astype(jnp.float32) * dxf
 
-    for c in copies:
+    for c in window_copies(slot, bi, bj):
         c.wait()
+    win = scratch.at[slot]
 
-    best = scratch[:, 2 * s:2 * s + BI, _HJ:_HJ + BJ, :]
+    best = win[:, 2 * s:2 * s + BI, _HJ:_HJ + BJ, :]
 
     for oi, oj, ok in _OFFSETS26.tolist():
         a = 2 * s + oi * s  # static: in [s, 3s]
         b = _HJ + oj * s
-        cand = scratch[:, a:a + BI, b:b + BJ, :]
+        cand = win[:, a:a + BI, b:b + BJ, :]
         if ok:
             # k-offset via lane rotate (shift must be non-negative; rotating
             # by nk - d rotates left by d); wrapped lanes are masked below
@@ -158,8 +184,9 @@ def _call_round(state, dx, stride: int, scale: int, interpret: bool):
         ),
         out_shape=jax.ShapeDtypeStruct((5, ni, nj, nk), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((5, _BI + 4 * stride, _BJ + 2 * _HJ, nk), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 5, _BI + 4 * stride, _BJ + 2 * _HJ, nk),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             # the 26-way unrolled merge chain peaks above the 16 MB scoped

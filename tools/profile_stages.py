@@ -178,11 +178,16 @@ def profile(nx, mesh_name="box", force_tiled=False):
     (phi, t) = timed("chamfer (pallas)", cham, phi, dx, return_time=True)
     stages["chamfer_ms"] = t
 
+    pdata = (binned.parity_packed if binned.parity_packed is not None
+             else binned.parity_crossings)
     (parity, t) = timed("unpack_parity", _unpack_parity_stage,
-                        jnp.asarray(binned.parity_packed), ni,
-                        return_time=True)
+                        jnp.asarray(pdata), ni, return_time=True)
     stages["parity_unpack_ms"] = t
 
+    # free the stage buffers (at 512-class they hold ~8 GB of HBM) before
+    # the end-to-end run allocates its own working set
+    del out, phi_r, tid_r, cpx_r, cpy_r, cpz_r
+    del phi0, tid0, cpx, cpy, cpz, freeze, phi, tid, parity
     e2e = run_e2e(mesh, grid, cfg, binned)
     stages["e2e_warm_ms"] = e2e
     if "publish" in sys.argv:
