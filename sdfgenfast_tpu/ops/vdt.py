@@ -458,9 +458,15 @@ def vdt_pyramid_far_field(
     d2 = _dist2(px, py, pz, cpx, cpy, cpz)
     state = pack_state(cpx, cpy, cpz, tid, d2)
 
-    # seed pyramid (corner subsampling; positions exact at every level)
+    # seed pyramid (corner subsampling; positions exact at every level).
+    # AT MOST two downsamples: the decimation overestimate scales as
+    # F^2/depth, and F=8 put 512-class deep cells at ~0.23dx vs the
+    # golden's 0.2dx bar — F<=4 keeps every depth under ~0.1dx because the
+    # coarsest level runs the FULL jump-flood ladder (its reach covers the
+    # whole grid, unlike the fixed-reach repair tails of finer levels).
     levels = [(state, (px, py, pz), 1)]
-    while max(levels[-1][0].shape[1:]) > _COARSE_MAX:
+    while (max(levels[-1][0].shape[1:]) > _COARSE_MAX
+           and len(levels) < 3):
         prev, _, scale = levels[-1]
         shape2 = tuple(-(-d // 2) for d in prev.shape[1:])
         pos2 = _level_pos_axes(shape2, dx, scale * 2)
