@@ -58,14 +58,27 @@ def bench_config(mesh, grid, config, repeats=3):
     phi = make_level_set3(mesh, grid, config, binned=binned)
     phi.block_until_ready()
     t_compile = time.perf_counter() - t0
+    # one more untimed warm call: the tunnel's first post-compile dispatch
+    # regularly carries a multi-second straggler
+    phi = make_level_set3(mesh, grid, config, binned=binned)
+    phi.block_until_ready()
 
     times = []
-    for _ in range(repeats):
+    for r in range(repeats * 3):
         t0 = time.perf_counter()
         b = bin_mesh(mesh, grid, config)  # host preprocessing counts
         phi = make_level_set3(mesh, grid, config, binned=b)
         phi.block_until_ready()
         times.append(time.perf_counter() - t0)
+        # adaptive: the tunnel has multi-minute DEGRADED PHASES (sync RTT
+        # 25 ms -> ~370 ms, uploads 5x slower) on top of per-call
+        # stragglers; stop once the two smallest samples agree within 20%
+        # (a reproducible minimum), else keep sampling up to 3x nominal
+        if r + 1 >= repeats:
+            lo = sorted(times)[:2]
+            if len(lo) == 2 and lo[1] <= 1.2 * lo[0]:
+                break
+    log(f"  reps: {[round(x, 3) for x in times]}")
     # min, not median: the remote-tunnel device adds multi-second stragglers
     # run-to-run (identical compiled programs measured 0.38s and 6.2s within
     # minutes); the minimum is the reproducible steady-state figure
@@ -130,17 +143,17 @@ def main():
     # optional name filter (e.g. `python bench.py box256 sphere82k_256`) —
     # used to warm the persistent compile cache one config at a time
     configs = [
-        ("box64", box, 64, SDFConfig(), 3),
-        ("box128", box, 128, SDFConfig(), 3),
-        ("box256", box, 256, SDFConfig(), 3),
-        ("sphere82k_256", sphere, 256, SDFConfig(), 3),
-        ("torus100k_256", torus, 256, SDFConfig(), 3),
+        ("box64", box, 64, SDFConfig(), 5),
+        ("box128", box, 128, SDFConfig(), 5),
+        ("box256", box, 256, SDFConfig(), 5),
+        ("sphere82k_256", sphere, 256, SDFConfig(), 5),
+        ("torus100k_256", torus, 256, SDFConfig(), 5),
         # BASELINE's 512^3 wall-clock metric: a true 512-cubed grid (134M
         # cells, the sphere bbox is cubic) plus the flagship torus at its
         # proportional 512-class grid. Axis-separated large-stride rounds
         # keep the full jump-flood ladder within HBM at this size.
-        ("sphere82k_512", sphere, 512, SDFConfig(), 2),
-        ("torus100k_512", torus, 512, SDFConfig(), 2),
+        ("sphere82k_512", sphere, 512, SDFConfig(), 4),
+        ("torus100k_512", torus, 512, SDFConfig(), 4),
     ]
     wanted = set(sys.argv[1:])
     if wanted:

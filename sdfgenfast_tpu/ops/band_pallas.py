@@ -293,7 +293,7 @@ def band_rows_pallas(
         grid=(A,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dx
-            pl.BlockSpec(memory_space=pltpu.ANY),   # pair table
+            pl.BlockSpec(memory_space=pl.ANY),    # pair table
         ],
         out_specs=tuple(
             pl.BlockSpec((1, 1, 512), lambda a, ids, off, cnt: (ids[a], 0, 0))

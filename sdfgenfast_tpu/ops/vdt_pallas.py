@@ -177,7 +177,7 @@ def _call_round(state, dx, stride: int, scale: int, interpret: bool):
         grid=(ni // _BI, nj // _BJ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (5, _BI, _BJ, nk), lambda bi, bj: (0, bi, bj, 0)
@@ -343,7 +343,7 @@ def pallas_chamfer(phi, dx, passes: int = 2, interpret: bool = False):
         grid=(ni_p // _CBI, nj_p // _CBJ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (_CBI, _CBJ, nk_p), lambda bi, bj: (bi, bj, 0)),

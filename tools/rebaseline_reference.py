@@ -104,7 +104,11 @@ def main():
     base_path = os.path.join(REPO, "BASELINE.json")
     with open(base_path) as f:
         base = json.load(f)
-    base.setdefault("published", {})["reference_rebaseline"] = {
+    prev = base.setdefault("published", {}).get(
+        "reference_rebaseline", {}).get("rows", {})
+    prev.update(results)
+    results = prev
+    base["published"]["reference_rebaseline"] = {
         "binary": REF_BIN,
         "host_cores": ncores,
         "host_caveat": (
