@@ -152,6 +152,29 @@ def example_7_differentiable_sdf():
     print(f"  d(mean SDF)/d(scale) = {directional:.5f} (expected < 0)")
 
 
+def example_8_batch_generation():
+    """Batch SDF generation: one shared grid, many meshes (e.g. a dataset of
+    deformations) — compiled programs are reused across the batch and each
+    mesh's host preprocessing overlaps the previous mesh's device compute."""
+    banner("Example 8: Batch generation (shared grid)")
+
+    import numpy as np
+    import sdfgenfast_tpu as sdfgen
+    from sdfgenfast_tpu.mesh import icosphere
+
+    rng = np.random.default_rng(0)
+    base = icosphere(2, radius=1.0)
+    meshes = [
+        (base.verts + rng.normal(scale=0.01, size=base.verts.shape
+                                 ).astype(np.float32), base.tris)
+        for _ in range(4)
+    ]
+    sdfs = sdfgen.generate_sdf_batch(
+        meshes, origin=(-1.3, -1.3, -1.3), dx=2.6 / 32, nx=32, ny=32, nz=32)
+    for i, sdf in enumerate(sdfs):
+        print(f"  mesh {i}: inside fraction {float((sdf < 0).mean()):.3f}")
+
+
 EXAMPLES = {
     1: example_1_load_and_generate,
     2: example_2_high_level_api,
@@ -160,6 +183,7 @@ EXAMPLES = {
     5: example_5_backend_selection,
     6: example_6_different_resolutions,
     7: example_7_differentiable_sdf,
+    8: example_8_batch_generation,
 }
 
 
