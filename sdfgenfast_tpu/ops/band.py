@@ -161,36 +161,39 @@ def bin_triangles(
     # its L-inf version, which keeps diagonal-corner tiles), (2) the
     # distance from the tile box to the triangle's plane. Both bound the
     # true cell distance from below, so freeze-band winners are never lost.
-    e1 = f[:, 1, :] - f[:, 0, :]
-    e2 = f[:, 2, :] - f[:, 0, :]
-    nrm = np.cross(e1, e2)
-    nlen = np.sqrt((nrm * nrm).sum(axis=1))
-    dplane = (nrm * f[:, 0, :]).sum(axis=1)
+    # Skipped entirely when pruning is off (legacy propagate/eikonal modes
+    # keep the full L-inf window) — the geometry is pure wasted host time
+    # there.
+    if prune:
+        e1 = f[:, 1, :] - f[:, 0, :]
+        e2 = f[:, 2, :] - f[:, 0, :]
+        nrm = np.cross(e1, e2)
+        nlen = np.sqrt((nrm * nrm).sum(axis=1))
+        dplane = (nrm * f[:, 0, :]).sum(axis=1)
 
-    tix = np.stack([tile_i, tile_j, tile_k], axis=1).astype(np.float64)
-    tsz = np.array(tile_shape, np.float64)
-    blo = tix * tsz
-    bhi = np.minimum((tix + 1.0) * tsz - 1.0, (dims - 1).astype(np.float64))
-    pf_min = fmin[tri_ids]
-    pf_max = fmax[tri_ids]
-    gap = np.maximum(0.0, np.maximum(blo - pf_max, pf_min - bhi))
-    eps = 1e-6
-    limit = float(exact_band) + eps
-    keep = (gap * gap).sum(axis=1) <= limit * limit
+        tix = np.stack([tile_i, tile_j, tile_k], axis=1).astype(np.float64)
+        tsz = np.array(tile_shape, np.float64)
+        blo = tix * tsz
+        bhi = np.minimum((tix + 1.0) * tsz - 1.0,
+                         (dims - 1).astype(np.float64))
+        pf_min = fmin[tri_ids]
+        pf_max = fmax[tri_ids]
+        gap = np.maximum(0.0, np.maximum(blo - pf_max, pf_min - bhi))
+        eps = 1e-6
+        limit = float(exact_band) + eps
+        keep = (gap * gap).sum(axis=1) <= limit * limit
 
-    pn = nrm[tri_ids]
-    has_n = nlen[tri_ids] > 1e-30
-    center_dot = (pn * (0.5 * (blo + bhi))).sum(axis=1)
-    radius = (np.abs(pn) * (0.5 * (bhi - blo))).sum(axis=1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        plane_gap = (np.abs(center_dot - dplane[tri_ids]) - radius) / nlen[
-            tri_ids]
-    keep &= ~(has_n & (plane_gap > limit))
-    if not prune:
-        keep = np.ones_like(keep)
+        pn = nrm[tri_ids]
+        has_n = nlen[tri_ids] > 1e-30
+        center_dot = (pn * (0.5 * (blo + bhi))).sum(axis=1)
+        radius = (np.abs(pn) * (0.5 * (bhi - blo))).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            plane_gap = (np.abs(center_dot - dplane[tri_ids]) - radius) / nlen[
+                tri_ids]
+        keep &= ~(has_n & (plane_gap > limit))
 
-    tri_ids = tri_ids[keep]
-    tile_i, tile_j, tile_k = tile_i[keep], tile_j[keep], tile_k[keep]
+        tri_ids = tri_ids[keep]
+        tile_i, tile_j, tile_k = tile_i[keep], tile_j[keep], tile_k[keep]
     tile_lin = (tile_i * ntj + tile_j) * ntk + tile_k
     total = len(tri_ids)
     if total == 0:

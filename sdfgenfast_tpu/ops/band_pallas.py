@@ -14,9 +14,9 @@ and a row scatter. This kernel fuses all three:
     double-buffered (next tile's segment prefetches during compute).
   * The pair table holds the 9 GRID-LOCAL vertex coordinates (+ the
     bitcast candidate id); all affine coefficients are computed in-kernel
-    per 8-candidate chunk on (8, 1) vectors — gathering 12 floats per pair
-    (jnp.take rows, ~1.1 G elem/s measured) instead of a 40-float
-    coefficient row more than halves the device gather cost.
+    per CHUNK(=16)-candidate chunk on (16, 1) vectors — gathering 12
+    floats per pair (jnp.take rows, ~1.1 G elem/s measured) instead of a
+    40-float coefficient row more than halves the device gather cost.
   * Distances use the same evaluation as the XLA path (and the reference,
     cpu_lib/makelevelset3.cpp:21-70): plane distance via the unit normal
     for barycentric-inside cells, cancellation-free difference-form
@@ -73,9 +73,14 @@ def band_csr_from_binning(cand, cand_valid, num_tris):
     return pair, off.astype(np.int32), padded.astype(np.int32)
 
 
-def _band_kernel(ids_ref, off_ref, cnt_ref, dx_ref, pair_ref,
+def _band_kernel(ids_ref, cid_ref, off_ref, cnt_ref, dx_ref, pair_ref,
                  phi_ref, tid_ref, cpx_ref, cpy_ref, cpz_ref,
                  scratch, sems, *, kcap, ntj, ntk, dims_sum):
+    # ids_ref: OUTPUT row ids (local tile index; consumed by the out index
+    # map). cid_ref: COORDINATE tile ids decomposed with the (ntj, ntk)
+    # statics — identical to ids_ref single-device; under shard_map they
+    # carry GLOBAL tile ids so cell positions are global while rows stay
+    # shard-local (sharded results must match single-device bit-for-bit).
     a = pl.program_id(0)
     n = pl.num_programs(0)
     dxf = dx_ref[0]
@@ -103,7 +108,7 @@ def _band_kernel(ids_ref, off_ref, cnt_ref, dx_ref, pair_ref,
     tbl = scratch.at[a % 2]
 
     # tile cell positions, grid-local: cells c = (li*8 + lj)*8 + lk
-    t = ids_ref[a]
+    t = cid_ref[a]
     tk = t % ntk
     tj = (t // ntk) % ntj
     ti = t // (ntk * ntj)
@@ -126,14 +131,14 @@ def _band_kernel(ids_ref, off_ref, cnt_ref, dx_ref, pair_ref,
         c0 = pl.multiple_of(i * CHUNK, 8)
 
         def cf(col):
-            return tbl[pl.ds(c0, CHUNK), col:col + 1]  # (8, 1)
+            return tbl[pl.ds(c0, CHUNK), col:col + 1]  # (CHUNK, 1)
 
         ax, ay, az = cf(0), cf(1), cf(2)
         bx, by, bz = cf(3), cf(4), cf(5)
         cx, cy, cz = cf(6), cf(7), cf(8)
         tidb = cf(9)
 
-        # --- per-candidate affine coefficients on (8, 1) vectors ---
+        # --- per-candidate affine coefficients on (CHUNK, 1) vectors ---
         def edge_coef(x1x, x1y, x1z, x2x, x2y, x2z):
             # s_raw = dot(x2 - p, x2 - x1)/|x2-x1|^2 expanded: e.p + e0,
             # with w = x1 - x2 and dd = (p - x2) - s*w
@@ -172,7 +177,7 @@ def _band_kernel(ids_ref, off_ref, cnt_ref, dx_ref, pair_ref,
         h0 = -(nx * cx + ny * cy + nz * cz)
         degen = cr2 <= jnp.float32(1e-30)
 
-        # --- (8, 512) evaluation ---
+        # --- (CHUNK, 512) evaluation ---
         h = nx * x + ny * y + nz * z + h0
         w23 = g23x * x + g23y * y + g23z * z + g23c
         w31 = g31x * x + g31y * y + g31z * z + g31c
@@ -256,6 +261,11 @@ def band_rows_pallas(
     tiles_dim,
     grid_shape,
     interpret: bool = False,
+    coord_ids=None,      # (A_pad,) int32 tile ids used for CELL POSITIONS,
+    coord_tiles_dim=None,  # decomposed with these tile dims. Defaults to
+    coord_grid_shape=None,  # active_ids/tiles_dim/grid_shape; sharded
+    #   callers pass GLOBAL ids/dims here (rows stay shard-local via
+    #   active_ids) so per-shard results match single-device bit-for-bit.
 ):
     """(T+1, 512) rows of (phi, tid, cpx, cpy, cpz) for all active tiles.
 
@@ -263,8 +273,15 @@ def band_rows_pallas(
     select them against an active-row mask (see pipeline._exact_core).
     """
     nti, ntj, ntk = tiles_dim
-    ni, nj, nk = grid_shape
     T = nti * ntj * ntk
+    if coord_ids is None:
+        coord_ids = active_ids
+    if coord_tiles_dim is None:
+        coord_tiles_dim = tiles_dim
+    if coord_grid_shape is None:
+        coord_grid_shape = grid_shape
+    _, cntj, cntk = coord_tiles_dim
+    ni, nj, nk = coord_grid_shape
     A = int(active_ids.shape[0])
     M = tri_local.shape[0]
 
@@ -289,14 +306,15 @@ def band_rows_pallas(
     pair_tbl = jnp.pad(pair_tbl, ((0, kcap), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(A,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dx
             pl.BlockSpec(memory_space=pl.ANY),    # pair table
         ],
         out_specs=tuple(
-            pl.BlockSpec((1, 1, 512), lambda a, ids, off, cnt: (ids[a], 0, 0))
+            pl.BlockSpec((1, 1, 512),
+                         lambda a, ids, cids, off, cnt: (ids[a], 0, 0))
             for _ in range(5)
         ),
         scratch_shapes=[
@@ -307,12 +325,12 @@ def band_rows_pallas(
     out_shape = tuple(
         jax.ShapeDtypeStruct((T + 1, 1, 512), jnp.float32) for _ in range(5))
     phi, tidb, cpx, cpy, cpz = pl.pallas_call(
-        partial(_band_kernel, kcap=kcap, ntj=ntj, ntk=ntk,
+        partial(_band_kernel, kcap=kcap, ntj=cntj, ntk=cntk,
                 dims_sum=ni + nj + nk),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(active_ids, tile_off, tile_cnt,
+    )(active_ids, coord_ids, tile_off, tile_cnt,
       jnp.asarray(dx, jnp.float32).reshape(1), pair_tbl)
     raw = jax.lax.bitcast_convert_type(tidb, jnp.int32)
     tid = jnp.where(raw >= 0, raw - jnp.int32(0x40000000), -1)

@@ -96,6 +96,26 @@ def parity_from_crossings_device(crossings, ni: int):
     return jnp.sum(hits, axis=0, dtype=jnp.int32) % 2 == 1
 
 
+def packed_from_crossings(cross: np.ndarray, ni: int) -> np.ndarray:
+    """Bit-packed parity field reconstructed from crossing positions.
+
+    Exactly `pack_parity(parity)` for the parity field the crossings encode
+    (each crossing toggles its column's parity from row c on; duplicate
+    positions cancel via the bincount parity). Lets the "auto" transport
+    compute the SOS predicates ONCE — the packed field, when it wins the
+    size comparison, is derived from the already-computed crossings instead
+    of re-running the full predicate pass."""
+    C, nj, nk = cross.shape
+    c = cross.astype(np.int64)
+    jj = np.arange(nj, dtype=np.int64)[None, :, None]
+    kk = np.arange(nk, dtype=np.int64)[None, None, :]
+    sel = c < ni  # sentinel (and out-of-range) entries toggle nothing
+    flat = (c * nj + jj) * nk + kk
+    bc = np.bincount(flat[sel], minlength=ni * nj * nk)
+    ev = (bc & 1).astype(bool).reshape(ni, nj, nk)
+    return pack_parity(np.logical_xor.accumulate(ev, axis=0))
+
+
 def parity_packed_host(verts: np.ndarray, tris: np.ndarray, grid: GridSpec,
                        num_threads: int = 0) -> np.ndarray:
     """Bit-packed parity field, preferring the native C++ kernel.

@@ -327,24 +327,51 @@ def vdt_far_field(
 # of `vdt_far_field` carry over unchanged.
 
 _COARSE_MAX = 48  # coarsest-level cap: 48^3 state = 2.2 MB, ladder ~free
+_MAX_LEVELS = 3   # at most two downsamples (decimation error ~ F^2/depth)
+
+# The full-resolution / intermediate-level repair schedules. Shared
+# constants so the sharded pyramid (parallel/sharded.py) runs the EXACT
+# single-device schedule — any drift would break the sharded-equals-
+# single-device contract.
+PYRAMID_LEVEL_ROUNDS = (8, 4, 2, 2, 1)
+PYRAMID_COARSE_ROUNDS = (8, 4, 2, 1, 1)
 
 
-def _level_pos_axes(shape, dx, scale: int):
+def pyramid_level_shapes(grid_shape):
+    """The pyramid level shapes the schedule builds for a global grid —
+    level 0 is the grid itself; each level halves (ceil) until
+    <= _COARSE_MAX or _MAX_LEVELS levels exist. Shared by the single-device
+    and sharded pyramids so their level counts always agree."""
+    shapes = [tuple(grid_shape)]
+    while (max(shapes[-1]) > _COARSE_MAX and len(shapes) < _MAX_LEVELS):
+        shapes.append(tuple(-(-d // 2) for d in shapes[-1]))
+    return shapes
+
+
+def _level_pos_axes(shape, dx, scale: int, offsets=None):
     """World coords of a pyramid level: level cell I sits at fine index
     I * scale (corner subsampling), so positions stay EXACT fine-grid
-    positions: f32(I * scale) * dx."""
+    positions: f32(I * scale) * dx. `offsets` (3 ints/scalars, may be
+    traced) shifts array-local level indices to GLOBAL level indices —
+    sharded blocks pass their shard offset so positions match a
+    single-device run bit-for-bit."""
     ni, nj, nk = shape
+    if offsets is None:
+        offsets = (0, 0, 0)
     s = jnp.int32(scale)
-    px = ((jnp.arange(ni, dtype=jnp.int32) * s).astype(jnp.float32) * dx)
-    py = ((jnp.arange(nj, dtype=jnp.int32) * s).astype(jnp.float32) * dx)
-    pz = ((jnp.arange(nk, dtype=jnp.int32) * s).astype(jnp.float32) * dx)
+    px = (((jnp.arange(ni, dtype=jnp.int32) + offsets[0]) * s)
+          .astype(jnp.float32) * dx)
+    py = (((jnp.arange(nj, dtype=jnp.int32) + offsets[1]) * s)
+          .astype(jnp.float32) * dx)
+    pz = (((jnp.arange(nk, dtype=jnp.int32) + offsets[2]) * s)
+          .astype(jnp.float32) * dx)
     return px[:, None, None], py[None, :, None], pz[None, None, :]
 
 
-def _downsample2(state, dx, fine_scale):
-    """Factor-2 min-downsample: each coarse cell adopts the child closest
-    point with the smallest re-scored distance to the coarse cell's
-    position (the corner child's fine position).
+def _downsample2(state, dx, fine_scale, offsets=None):
+    """Factor-2 min-downsample: each coarse cell adopts a nearby child
+    closest point, re-scored against the coarse cell's position (the corner
+    child's fine position).
 
     Three axis-wise pairwise tournaments instead of eight strided 3-D
     slices: the 8-slice form made XLA re-walk the full state once per child
@@ -352,15 +379,28 @@ def _downsample2(state, dx, fine_scale):
     once per axis (~1/6 the traffic). Each pass re-scores both children
     against the position that is coarse in the axes merged so far and fine
     in the rest — after the k pass that is exactly the coarse corner
-    position. The k (lane) pass pairs neighbors via a reshape split, not a
-    lane-strided slice."""
+    position. NOTE this is a GREEDY approximation of the 8-child argmin:
+    early passes judge winners at mixed coarse/fine positions, so the
+    globally closest child can be eliminated before the final re-score.
+    The overestimate invariant still holds exactly (every surviving cp is a
+    real surface point), and far-field accuracy is enforced by the golden
+    bars, not by equivalence with the 8-slice form. The k (lane) pass pairs
+    neighbors via a reshape split, not a lane-strided slice.
+
+    `offsets` (3 ints/scalars, may be traced): the state's array-local
+    index offsets at the FINE level (sharded blocks). They must be EVEN on
+    any axis where the block is a strict shard (sharded blocks are tile-8
+    multiples, so this holds), making the local pairing identical to the
+    global one and results bit-equal to downsampling the full grid."""
+    if offsets is None:
+        offsets = (0, 0, 0)
     _, ni, nj, nk = state.shape
     pad = ((0, 0), (0, ni % 2), (0, nj % 2), (0, nk % 2))
     if any(p[1] for p in pad):
         state = jnp.pad(state, pad, constant_values=FAR)
 
-    def axis_pos(n, scale, which):
-        v = ((jnp.arange(n, dtype=jnp.int32) * jnp.int32(scale))
+    def axis_pos(n, scale, which, off=0):
+        v = (((jnp.arange(n, dtype=jnp.int32) + off) * jnp.int32(scale))
              .astype(jnp.float32) * dx)
         shape = [1, 1, 1]
         shape[which] = n
@@ -374,21 +414,24 @@ def _downsample2(state, dx, fine_scale):
         return _merge(best, b, db)
 
     f, c = fine_scale, 2 * fine_scale
+    oi, oj, ok = offsets
+    oi2, oj2, ok2 = oi // 2, oj // 2, ok // 2  # coarse-level offsets (even)
     ni2, nj2, nk2 = state.shape[1] // 2, state.shape[2] // 2, state.shape[3] // 2
     state = pair_merge(
         state[:, 0::2], state[:, 1::2],
-        (axis_pos(ni2, c, 0), axis_pos(state.shape[2], f, 1),
-         axis_pos(state.shape[3], f, 2)),
+        (axis_pos(ni2, c, 0, oi2), axis_pos(state.shape[2], f, 1, oj),
+         axis_pos(state.shape[3], f, 2, ok)),
     )
     state = pair_merge(
         state[:, :, 0::2], state[:, :, 1::2],
-        (axis_pos(ni2, c, 0), axis_pos(nj2, c, 1),
-         axis_pos(state.shape[3], f, 2)),
+        (axis_pos(ni2, c, 0, oi2), axis_pos(nj2, c, 1, oj2),
+         axis_pos(state.shape[3], f, 2, ok)),
     )
     pairs = state.reshape(5, ni2, nj2, nk2, 2)
     state = pair_merge(
         pairs[..., 0], pairs[..., 1],
-        (axis_pos(ni2, c, 0), axis_pos(nj2, c, 1), axis_pos(nk2, c, 2)),
+        (axis_pos(ni2, c, 0, oi2), axis_pos(nj2, c, 1, oj2),
+         axis_pos(nk2, c, 2, ok2)),
     )
     return state
 
@@ -414,13 +457,13 @@ def vdt_pyramid_far_field(
     #   (ops/vdt_pallas.py) — bit-equal to the jnp rounds, ~5x faster on a
     #   real chip; must stay False off-TPU (Mosaic only targets TPUs)
     round_fn=None,  # custom (state, px, py, pz, stride) -> state override
-    level_rounds=(8, 4, 2, 2, 1),  # full-res repair strides after the last
+    level_rounds=PYRAMID_LEVEL_ROUNDS,  # full-res repair strides after the last
     #   upsample. Reach = sum(strides)+polish: cells within ~18 cells of the
     #   band get full-seed-set donor quality; deeper cells rely on coarser
     #   levels, whose cp-decimation overestimate shrinks as F^2/depth.
     #   Tuned on the 128/256 goldens: (8,4,2,2,1)+1 polish = 0.14-0.16 dx
     #   worst-case vs the reference binary (bar: 0.2 dx).
-    coarse_rounds=(8, 4, 2, 1, 1),  # repair strides at intermediate levels
+    coarse_rounds=PYRAMID_COARSE_ROUNDS,  # repair strides at intermediate levels
     #   (each level is 8x smaller than the one below, so generous repair
     #   there is nearly free)
 ):
@@ -465,8 +508,7 @@ def vdt_pyramid_far_field(
     # coarsest level runs the FULL jump-flood ladder (its reach covers the
     # whole grid, unlike the fixed-reach repair tails of finer levels).
     levels = [(state, (px, py, pz), 1)]
-    while (max(levels[-1][0].shape[1:]) > _COARSE_MAX
-           and len(levels) < 3):
+    for _ in range(len(pyramid_level_shapes((ni, nj, nk))) - 1):
         prev, _, scale = levels[-1]
         shape2 = tuple(-(-d // 2) for d in prev.shape[1:])
         pos2 = _level_pos_axes(shape2, dx, scale * 2)

@@ -72,8 +72,14 @@ def supports_pallas_round(shape, max_stride: int) -> bool:
     )
 
 
-def _round_kernel(dx_ref, state_ref, out_ref, scratch, sems, *, stride,
-                  ni, nj, nk, scale):
+def _round_kernel(dx_ref, off_ref, state_ref, out_ref, scratch, sems, *,
+                  stride, ni, nj, nk, scale, vni, vnj, vnk):
+    # ni/nj/nk: the ARRAY dims (block-padded); vni/vnj/vnk: the VALID cell
+    # domain. Donors at or beyond the valid bounds are masked to +inf — the
+    # jnp Jacobi round reads fresh FAR pads there every round, so without
+    # this split a multi-round phase would let pad cells adopt interior
+    # values in round k and re-donate them in round k+1 (measured 0.0015
+    # divergence from the pure Jacobi composition at 128-class grids).
     s = stride
     BI, BJ = _BI, _BJ
     WI = BI + 2 * s
@@ -130,13 +136,17 @@ def _round_kernel(dx_ref, state_ref, out_ref, scratch, sems, *, stride,
 
     i0 = bi * BI
     j0 = bj * BJ
-    # cell world positions (pyramid level `scale`): f32(index * scale) * dx
+    # cell world positions (pyramid level `scale`): f32(index * scale) * dx.
+    # off_ref shifts ARRAY-local indices to GLOBAL level indices for the
+    # position math only (sharded halo-extended blocks; zeros single-device)
+    # — the validity mask below stays array-local, since the extended block
+    # IS the donor domain there (matching vdt._halo_round).
     gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (BI, 1, 1), 0)
     gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, BJ, 1), 1)
     gk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nk), 2)
-    px = (gi * scale).astype(jnp.float32) * dxf
-    py = (gj * scale).astype(jnp.float32) * dxf
-    pz = (gk * scale).astype(jnp.float32) * dxf
+    px = ((gi + off_ref[0]) * scale).astype(jnp.float32) * dxf
+    py = ((gj + off_ref[1]) * scale).astype(jnp.float32) * dxf
+    pz = ((gk + off_ref[2]) * scale).astype(jnp.float32) * dxf
 
     for c in window_copies(slot, bi, bj):
         c.wait()
@@ -158,8 +168,8 @@ def _round_kernel(dx_ref, state_ref, out_ref, scratch, sems, *, stride,
         gci = gi + oi * s
         gcj = gj + oj * s
         gck = gk + ok * s
-        valid = ((gci >= 0) & (gci < ni) & (gcj >= 0) & (gcj < nj)
-                 & (gck >= 0) & (gck < nk))
+        valid = ((gci >= 0) & (gci < vni) & (gcj >= 0) & (gcj < vnj)
+                 & (gck >= 0) & (gck < vnk))
         cd2 = jnp.where(valid, cd2, _INF)
         better = cd2 < best[4]
         upd = jnp.concatenate([cand[:4], cd2[None]], axis=0)
@@ -168,14 +178,22 @@ def _round_kernel(dx_ref, state_ref, out_ref, scratch, sems, *, stride,
     out_ref[:] = best
 
 
-def _call_round(state, dx, stride: int, scale: int, interpret: bool):
-    """One round on a block-aligned state (ni % BI == 0, nj % BJ == 0)."""
+def _call_round(state, dx, stride: int, scale: int, interpret: bool,
+                pos_off=None, valid_dims=None):
+    """One round on a block-aligned state (ni % BI == 0, nj % BJ == 0).
+
+    `valid_dims`: the unpadded cell domain (donors beyond it are +inf every
+    round, like the jnp round's fresh FAR pads)."""
     _, ni, nj, nk = state.shape
+    vni, vnj, vnk = valid_dims if valid_dims is not None else (ni, nj, nk)
+    if pos_off is None:
+        pos_off = jnp.zeros((3,), jnp.int32)
     return pl.pallas_call(
         partial(_round_kernel, stride=stride, ni=ni, nj=nj, nk=nk,
-                scale=scale),
+                scale=scale, vni=vni, vnj=vnj, vnk=vnk),
         grid=(ni // _BI, nj // _BJ),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -195,27 +213,33 @@ def _call_round(state, dx, stride: int, scale: int, interpret: bool):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(jnp.asarray(dx, jnp.float32).reshape(1), state)
+    )(jnp.asarray(dx, jnp.float32).reshape(1), pos_off, state)
 
 
 def pallas_round_phase(state, dx, strides, scale: int = 1,
-                       interpret: bool = False):
+                       interpret: bool = False, pos_offset=None):
     """Run a sequence of Jacobi rounds, padding to block multiples ONCE.
 
     Pad cells hold FAR closest points: as donors they lose every comparison
     (the validity mask also excludes them), and their own contents are
     cropped, so results equal the jnp rounds on the unpadded state bitwise.
+
+    `pos_offset` (3,) int32 shifts array-local indices to global LEVEL
+    indices for the position math (sharded halo-extended blocks); None
+    means zeros (single-device).
     """
     from .vdt import _jacobi_round, _level_pos_axes
 
     _, ni, nj, nk = state.shape
     if not supports_pallas_round(state.shape, max(strides)):
-        pos = _level_pos_axes((ni, nj, nk), dx, scale)
+        pos = _level_pos_axes((ni, nj, nk), dx, scale, offsets=pos_offset)
         offs = jnp.asarray(_OFFSETS26)
         for s in strides:
             state = _jacobi_round(state, *pos, s, offs)
         return state
 
+    if pos_offset is not None:
+        pos_offset = jnp.asarray(pos_offset, jnp.int32)
     ni_p = -(-ni // _BI) * _BI
     nj_p = -(-nj // _BJ) * _BJ
     nk_p = -(-nk // 128) * 128  # lane alignment (e.g. the torus' 75-deep k)
@@ -227,7 +251,8 @@ def pallas_round_phase(state, dx, strides, scale: int = 1,
             constant_values=FAR,
         )
     for s in strides:
-        padded = _call_round(padded, dx, s, scale, interpret)
+        padded = _call_round(padded, dx, s, scale, interpret, pos_offset,
+                             valid_dims=(ni, nj, nk))
     return padded[:, :ni, :nj, :nk]
 
 

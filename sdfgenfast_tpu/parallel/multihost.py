@@ -104,6 +104,8 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
     (Dj, Dk, ni, nj_l, nk_l) block array, still device-sharded; pass through
     ``fetch_global`` + ``assemble_blocks`` for the dense grid."""
     from ..pipeline import use_dense
+    from ..ops import vdt as vdt_ops
+    from .sharded import _validate_pyramid_blocks
 
     cfg = binned.config
     if cfg.far_field != "exact":
@@ -115,38 +117,59 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
     blk3 = P("j", "k", None, None)
     blk4 = P("j", "k", None, None, None)
     rep = P()
+
+    dense = use_dense(cfg, len(binned.tris))
+    ni, nj_l, nk_l = binned.block
+    Dj, Dk = binned.dims
+    gdims = (ni, nj_l * Dj, nk_l * Dk)
+    pyramid = (not dense and cfg.vdt_max_hop is None
+               and cfg.vdt_extra_rounds is None)
+    strides = ()
+    if pyramid:
+        _validate_pyramid_blocks(gdims, binned.block, binned.dims)
+    elif not dense:
+        cap = cfg.vdt_max_hop
+        if cap is None or cap > min(nj_l, nk_l):
+            raise ValueError(
+                "the capped-ladder sharded mode needs config.vdt_max_hop "
+                f"<= the shard block (min(nj_l, nk_l) = {min(nj_l, nk_l)})"
+            )
+        extra = cfg.vdt_extra_rounds
+        if extra is None:
+            extra = 2 if max(gdims) <= 256 else 4
+        strides = vdt_ops.stride_ladder(
+            max(gdims), max_hop=cap, extra_rounds=extra,
+        )
+    use_pallas = (pyramid and binned.csr_pair is not None
+                  and jax.default_backend() == "tpu")
     b_ids = make_global_array(binned.band_ids, mesh, blk2)
-    b_cand = make_global_array(binned.band_cand, mesh, blk3)
-    b_valid = make_global_array(binned.band_valid, mesh, blk3)
+    dummy2 = np.zeros((Dj, Dk, 0), np.int32)
+    if use_pallas:
+        b_cand = make_global_array(
+            np.zeros((Dj, Dk, 0, 1), np.int32), mesh, blk3)
+        b_valid = make_global_array(
+            np.zeros((Dj, Dk, 0, 1), bool), mesh, blk3)
+        c_pair = make_global_array(binned.csr_pair, mesh, blk2)
+        c_off = make_global_array(binned.csr_off, mesh, blk2)
+        c_cnt = make_global_array(binned.csr_cnt, mesh, blk2)
+        c_gids = make_global_array(binned.band_gids, mesh, blk2)
+    else:
+        b_cand = make_global_array(binned.band_cand, mesh, blk3)
+        b_valid = make_global_array(binned.band_valid, mesh, blk3)
+        c_pair = make_global_array(dummy2, mesh, blk2)
+        c_off = make_global_array(dummy2, mesh, blk2)
+        c_cnt = make_global_array(dummy2, mesh, blk2)
+        c_gids = make_global_array(dummy2, mesh, blk2)
     packed = make_global_array(binned.parity_packed, mesh, blk4)
     tv = make_global_array(np.asarray(tri_verts), mesh, rep)
     origin = make_global_array(
         np.asarray(binned.grid.origin, np.float32), mesh, rep
     )
 
-    from ..ops import vdt as vdt_ops
-
-    dense = use_dense(cfg, len(binned.tris))
-    ni, nj_l, nk_l = binned.block
-    if dense:
-        strides = ()
-    else:
-        cap = cfg.vdt_max_hop
-        if cap is None or cap > min(nj_l, nk_l):
-            raise ValueError(
-                "sharded runs need config.vdt_max_hop <= the shard block on "
-                f"the sharded axes (min(nj_l, nk_l) = {min(nj_l, nk_l)})"
-            )
-        Dj, Dk = binned.dims
-        extra = cfg.vdt_extra_rounds
-        if extra is None:
-            extra = 2 if max(ni, nj_l * Dj, nk_l * Dk) <= 256 else 4
-        strides = vdt_ops.stride_ladder(
-            max(ni, nj_l * Dj, nk_l * Dk), max_hop=cap, extra_rounds=extra,
-        )
     return _sharded_core(
         tv, b_ids, b_cand, b_valid, packed,
         origin, jnp.float32(binned.grid.dx),
+        c_pair, c_off, c_cnt, c_gids,
         mesh_obj=mesh, block=binned.block,
         band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
         band_chunk=cfg.band_chunk, strides=strides,
@@ -154,6 +177,11 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
         seed_band=max(cfg.exact_band, 3),
         dense=dense,
         skip_recompute=True,
+        pyramid=pyramid,
+        use_pallas=use_pallas,
+        kcap=binned.kcap if use_pallas else 0,
+        gdims=gdims,
+        band_tiles_global=binned.band_tiles_global,
     )
 
 

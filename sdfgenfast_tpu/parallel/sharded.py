@@ -12,16 +12,40 @@ Design choices that make the domain decomposition cheap on ICI:
   is local to every device — no segmented-scan collective at all.
 - Narrow-band and sign binning are computed globally on host, then the active
   tiles are partitioned by owner device (tiles never straddle shard edges by
-  construction), so each shard runs the identical single-device kernels.
-- The far field runs the closest-point jump flood (ops/vdt.py) with a
-  stride ladder capped at config.vdt_max_hop <= the shard block: each
-  Jacobi round exchanges one corner-complete max_hop-deep halo slab
-  (two-phase ppermute: j-planes first, then k-planes of the j-extended
-  block so corners ride along) and is bit-identical to the single-device
-  round of the same capped ladder. The final Lipschitz relaxation
-  exchanges 1-cell halos the same way.
+  construction), so each shard runs the identical single-device kernels —
+  on TPU that includes the fused Pallas CSR band kernel
+  (ops/band_pallas.py): per-shard CSR segments with shard-LOCAL output rows
+  but GLOBAL coordinate ids, so per-cell arithmetic matches single-device
+  bit-for-bit.
+- The far field default is the sharded PYRAMID schedule — the same
+  coarse-to-fine closest-point transform the single-chip bench runs
+  (ops/vdt.vdt_pyramid_far_field), distributed as: local min-downsamples
+  (shard blocks are even multiples, so local pairing == global pairing);
+  the coarsest level (~48-class, a few MB) is all_gather'ed and its full
+  jump-flood ladder runs REPLICATED on every device (identical inputs ->
+  identical results, zero further comms); the descent's short-stride
+  (<= 8) repair rounds run locally on corner-complete halo-extended
+  blocks (two-phase ppermute: j-planes, then k-planes of the j-extended
+  block), each round bit-equal to the single-device Jacobi round. On TPU
+  the rounds execute through the Pallas round kernel with the shard's
+  global position offset (ops/vdt_pallas.py pos_offset).
+- Setting config.vdt_max_hop selects the legacy capped-ladder schedule
+  instead: every Jacobi round exchanges one max_hop-deep halo slab and is
+  bit-identical to a single-device run of the same capped ladder.
+- The final Lipschitz relaxation extends once by `passes` cells and runs
+  the fused chamfer (Pallas on TPU) locally — ring-by-ring, the interior
+  equals the global pass sequence exactly.
 - Vertex gradients: tri_verts enter replicated; shard_map's transpose inserts
   the cross-device psum of the per-shard partial gradients automatically.
+
+Equality contract: a sharded run equals the single-device run of the same
+config on any mesh shape — with one caveat for the pyramid schedule: the
+single-device path may permute grid axes for lane efficiency
+(pipeline._vdt_axis_perm), which reorders the (order-sensitive, greedy)
+downsample tournaments. The sharded pyramid always runs unpermuted, so
+exact equality holds when the perm is the identity (any grid whose k axis
+is the largest dim — all equality-test grids); for other grids both
+results are valid overestimates within the same golden bars.
 """
 
 from __future__ import annotations
@@ -139,6 +163,16 @@ class ShardedBinned:
     band_valid: np.ndarray
     parity_packed: np.ndarray  # (Dj, Dk, ceil(ni/8), nj_l, nk_l) uint8
     tris: np.ndarray
+    # Per-shard CSR candidate layout for the Pallas band kernel (TPU path;
+    # built whenever tile_shape is (8,8,8) and far_field == "exact").
+    # Shapes are padded to COMMON buckets across shards so shard_map specs
+    # stay uniform. band_gids carry GLOBAL tile ids (coordinate stream).
+    csr_pair: Optional[np.ndarray] = None   # (Dj, Dk, P_pad) int32
+    csr_off: Optional[np.ndarray] = None    # (Dj, Dk, A) int32
+    csr_cnt: Optional[np.ndarray] = None    # (Dj, Dk, A) int32
+    band_gids: Optional[np.ndarray] = None  # (Dj, Dk, A) int32
+    band_tiles_global: Optional[Tuple[int, int, int]] = None
+    kcap: int = 0
 
 
 def _partition_tiles(active_ids, cand, valid, tiles_dim, tiles_local, dims):
@@ -168,19 +202,23 @@ def _partition_tiles(active_ids, cand, valid, tiles_dim, tiles_local, dims):
     A = max(int(counts.max()), 1)
     A = -(-A // 8) * 8
     K = cand.shape[1]
+    global_total = int(np.prod(tiles_dim))
     ids_out = np.full((Dj * Dk, A), local_total, np.int32)  # sentinel -> dropped
+    gids_out = np.full((Dj * Dk, A), global_total, np.int32)
     cand_out = np.zeros((Dj * Dk, A, K), np.int32)
     valid_out = np.zeros((Dj * Dk, A, K), bool)
     order = np.argsort(owner, kind="stable")
     offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
     pos = np.arange(len(owner)) - offs[owner[order]]
     ids_out[owner[order], pos] = local[order].astype(np.int32)
+    gids_out[owner[order], pos] = active_ids[order].astype(np.int32)
     cand_out[owner[order], pos] = cand[order]
     valid_out[owner[order], pos] = valid[order]
     return (
         ids_out.reshape(Dj, Dk, A),
         cand_out.reshape(Dj, Dk, A, K),
         valid_out.reshape(Dj, Dk, A, K),
+        gids_out.reshape(Dj, Dk, A),
     )
 
 
@@ -196,6 +234,8 @@ def bin_mesh_sharded(
     if nj_l % tj or nk_l % tk:
         raise ValueError("shard block must be a multiple of tile_shape")
     mesh.validate_indices()
+    csr = {}
+    tiles_global = None
     if use_dense(config, len(mesh.tris)):
         # dense path needs no band binning; keep shard-shaped empty arrays so
         # the shard_map in_specs stay uniform
@@ -203,19 +243,26 @@ def bin_mesh_sharded(
         b_ids = np.zeros((Dj, Dk, 0), np.int32)
         b_cand = np.zeros((Dj, Dk, 0, 1), np.int32)
         b_valid = np.zeros((Dj, Dk, 0, 1), bool)
+        b_gids = np.zeros((Dj, Dk, 0), np.int32)
     else:
-        # same >=3-cell seed band as the single-device exact path (pipeline
-        # bin_mesh) so sharded and single-device results match exactly
+        # same >=3-cell seed band and exact-overlap prune as the
+        # single-device exact path (pipeline.bin_mesh) so sharded and
+        # single-device results match exactly
         seed_band = max(config.exact_band, 3)
         bb = band_ops.bin_triangles(
-            mesh.verts, mesh.tris, grid, seed_band, config.tile_shape
+            mesh.verts, mesh.tris, grid, seed_band, config.tile_shape,
+            prune=config.far_field == "exact",
         )
         nti = -(-ni // ti)
         band_tiles_local = (nti, nj_l // tj, nk_l // tk)
-        b_ids, b_cand, b_valid = _partition_tiles(
+        tiles_global = tuple(int(x) for x in bb.tiles_dim)
+        b_ids, b_cand, b_valid, b_gids = _partition_tiles(
             bb.active_ids.astype(np.int64), bb.cand, bb.cand_valid,
             bb.tiles_dim, band_tiles_local, dims,
         )
+        if (config.far_field == "exact"
+                and tuple(config.tile_shape) == (8, 8, 8)):
+            csr = _shard_csr(b_cand, b_valid, len(mesh.tris))
 
     # host parity, globally (native C++ kernel), then packed per shard block
     packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
@@ -229,7 +276,43 @@ def bin_mesh_sharded(
         grid, config, dims, (ni, nj_l, nk_l),
         band_tiles_local, b_ids, b_cand, b_valid,
         packed_blocks, mesh.tris.astype(np.int32),
+        csr_pair=csr.get("pair"), csr_off=csr.get("off"),
+        csr_cnt=csr.get("cnt"), band_gids=b_gids,
+        band_tiles_global=tiles_global, kcap=csr.get("kcap", 0),
     )
+
+
+def _shard_csr(b_cand: np.ndarray, b_valid: np.ndarray, num_tris: int):
+    """Per-shard CSR arrays for the Pallas band kernel, padded to common
+    buckets across shards (shard_map inputs must be shape-uniform)."""
+    from ..ops import band_pallas
+
+    Dj, Dk, A, _K = b_cand.shape
+    pairs, offs, cnts = [], [], []
+    for dj in range(Dj):
+        for dk in range(Dk):
+            p, o, c = band_pallas.band_csr_from_binning(
+                b_cand[dj, dk], b_valid[dj, dk], num_tris)
+            pairs.append(p)
+            offs.append(o)
+            cnts.append(c)
+    P = max(len(p) for p in pairs)
+    P_pad = max(-(-P // 128) * 128, 128)
+    pair_out = np.full((Dj * Dk, P_pad), num_tris, np.int32)
+    off_out = np.zeros((Dj * Dk, A), np.int32)
+    cnt_out = np.zeros((Dj * Dk, A), np.int32)
+    kcap = 64
+    for s, (p, o, c) in enumerate(zip(pairs, offs, cnts)):
+        pair_out[s, :len(p)] = p
+        off_out[s, :len(o)] = o
+        cnt_out[s, :len(c)] = c
+        kcap = max(kcap, -(-int(c.max() or 1) // 64) * 64)
+    return {
+        "pair": pair_out.reshape(Dj, Dk, P_pad),
+        "off": off_out.reshape(Dj, Dk, A),
+        "cnt": cnt_out.reshape(Dj, Dk, A),
+        "kcap": int(kcap),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -262,44 +345,159 @@ def _extend(x, axis_name, axis, fill, depth: int = 1):
     return jnp.concatenate([lo, x, hi], axis=axis)
 
 
-def _sharded_chamfer(phi, dx, passes):
+def _sharded_chamfer(phi, dx, passes, use_pallas=False):
     """Lipschitz relaxation with corner-complete cross-shard halos.
 
-    Each pass reads only pass-start state (the halo exchange snapshots it),
-    so a sharded pass is bit-identical to the single-device
-    ``ops/vdt.chamfer_relax`` pass and sharded results match single-device
-    exactly at any pass count."""
+    One `passes`-deep halo exchange, then ALL passes run locally on the
+    extended block (the fused Pallas chamfer on TPU, the jnp reference
+    rounds elsewhere) and the interior is sliced back. Ring by ring, every
+    interior cell sees exactly the values the global pass sequence would
+    produce (extension depth == passes), so sharded results equal the
+    single-device ``ops/vdt.chamfer_relax`` bitwise — while paying 2
+    ppermute phases TOTAL instead of 2 per pass."""
     ni, nj_l, nk_l = phi.shape
-    offs = jnp.asarray(vdt_ops._OFFSETS26, dtype=jnp.int32)
-    step = jnp.sqrt(
-        jnp.sum(jnp.asarray(vdt_ops._OFFSETS26, jnp.float32) ** 2, axis=-1)
-    ) * dx
     big = jnp.float32(3e38)
+    p = passes
+    ext = _extend(phi, "j", 1, big, depth=p)
+    ext = _extend(ext, "k", 2, big, depth=p)
+    if use_pallas:
+        from ..ops.vdt_pallas import pallas_chamfer
 
-    for _ in range(passes):
-        ext = _extend(phi, "j", 1, big)
-        ext = _extend(ext, "k", 2, big)
-        ext = jnp.pad(ext, ((1, 1), (0, 0), (0, 0)), constant_values=big)
+        out = pallas_chamfer(ext, dx, passes=passes)
+    else:
+        out = vdt_ops.chamfer_relax(ext, dx, passes=passes)
+    return jax.lax.slice(out, (0, p, p), (ni, p + nj_l, p + nk_l))
 
-        def body(k, acc):
-            o = offs[k]
-            nb = jax.lax.dynamic_slice(
-                ext, (1 + o[0], 1 + o[1], 1 + o[2]), (ni, nj_l, nk_l)
-            )
-            return jnp.minimum(acc, nb + step[k])
 
-        phi = jax.lax.fori_loop(0, offs.shape[0], body, phi)
-    return phi
+def _state_halo_extend(state, s):
+    # corner-complete s-deep halos on the sharded j/k axes of the
+    # CHANNEL-FIRST (5, ni, nj_l, nk_l) state; the (unsharded) i
+    # axis is handled inside the VDT round
+    ext = _extend(state, "j", 2, vdt_ops.FAR, depth=s)
+    return _extend(ext, "k", 3, vdt_ops.FAR, depth=s)
+
+
+def _halo_pyramid_round(state, dx, stride, scale, j_off_l, k_off_l,
+                        use_pallas):
+    """One Jacobi repair round on a halo-extended shard block, bit-equal to
+    the single-device ``vdt._jacobi_round`` on the full level grid: the
+    corner-complete stride-deep halo supplies exactly the round-start
+    neighbor state the global round reads. On TPU the round executes
+    through the Pallas kernel over the EXTENDED block (positions shifted to
+    global level indices via pos_offset), the interior sliced back —
+    identical candidates, identical merges."""
+    _, ni, nj_l, nk_l = state.shape
+    s = stride
+    ext = _state_halo_extend(state, s)
+    if use_pallas:
+        from ..ops.vdt_pallas import pallas_round_phase
+
+        off = jnp.stack([jnp.int32(0),
+                         (j_off_l - s).astype(jnp.int32),
+                         (k_off_l - s).astype(jnp.int32)])
+        out = pallas_round_phase(ext, dx, (s,), scale, pos_offset=off)
+        return jax.lax.slice(
+            out, (0, 0, s, s), (5, ni, s + nj_l, s + nk_l))
+    px, py, pz = vdt_ops._level_pos_axes(
+        (ni, nj_l, nk_l), dx, scale, offsets=(0, j_off_l, k_off_l))
+    offs = jnp.asarray(vdt_ops._OFFSETS26)
+    return vdt_ops._halo_round(state, px, py, pz, s, offs,
+                               lambda st, s_: _state_halo_extend(st, s_))
+
+
+def _sharded_pyramid(cpx, cpy, cpz, tid0, phi0, dx, freeze_mask,
+                     j_off, k_off, gdims, use_pallas,
+                     extra_polish: int = 2):
+    """The coarse-to-fine closest-point far field, distributed.
+
+    Runs the EXACT single-device schedule (``vdt.vdt_pyramid_far_field``
+    with the shared PYRAMID_*_ROUNDS constants, unpermuted): local
+    min-downsamples (block pairing == global pairing since shard offsets
+    are even), an all_gather'ed coarsest level whose full jump-flood ladder
+    runs replicated on every device, then halo-extended Jacobi repair
+    rounds on the way down. Every arithmetic step matches the single-device
+    run bit-for-bit (see the module docstring for the axis-perm caveat).
+    """
+    ni, nj_l, nk_l = cpx.shape
+    gni, gnj, gnk = gdims
+    offs = jnp.asarray(vdt_ops._OFFSETS26)
+    lshapes = vdt_ops.pyramid_level_shapes(gdims)
+    L = len(lshapes)
+
+    px, py, pz = vdt_ops._level_pos_axes(
+        (ni, nj_l, nk_l), dx, 1, offsets=(0, j_off, k_off))
+    d2 = vdt_ops._dist2(px, py, pz, cpx, cpy, cpz)
+    state = vdt_ops.pack_state(cpx, cpy, cpz, tid0, d2)
+
+    # seed pyramid: local downsamples (offsets shift re-score positions to
+    # global level indices; shard offsets are even at every level built)
+    levels = [(state, 1)]
+    joffs = [j_off]
+    koffs = [k_off]
+    for _ in range(L - 1):
+        prev, scale = levels[-1]
+        levels.append((
+            vdt_ops._downsample2(prev, dx, scale,
+                                 offsets=(0, joffs[-1], koffs[-1])),
+            scale * 2,
+        ))
+        joffs.append(joffs[-1] // 2)
+        koffs.append(koffs[-1] // 2)
+
+    # coarsest level: gather the full grid (a few MB) and run the complete
+    # single-device ladder REPLICATED — identical inputs on every device
+    # give identical results with zero further communication
+    s_loc, scale_c = levels[-1]
+    full = jax.lax.all_gather(s_loc, "j", axis=2, tiled=True)
+    full = jax.lax.all_gather(full, "k", axis=3, tiled=True)
+    pos_c = vdt_ops._level_pos_axes(full.shape[1:], dx, scale_c)
+    ladder = list(vdt_ops.stride_ladder(max(lshapes[-1]), extra_rounds=1))
+    for st in (x for x in ladder if x > 8):
+        full = vdt_ops._jacobi_round(full, *pos_c, st, offs)
+    small = tuple(x for x in ladder if x <= 8)
+    if use_pallas:
+        from ..ops.vdt_pallas import pallas_round_phase
+
+        full = pallas_round_phase(full, dx, small, scale_c)
+    else:
+        for st in small:
+            full = vdt_ops._jacobi_round(full, *pos_c, st, offs)
+    s = jax.lax.dynamic_slice(
+        full, (0, 0, joffs[-1], koffs[-1]), s_loc.shape)
+
+    # descend: upsample-merge locally + halo-extended repair rounds
+    for lvl in range(L - 2, -1, -1):
+        fine, scale_l = levels[lvl]
+        pos_l = vdt_ops._level_pos_axes(
+            fine.shape[1:], dx, scale_l, offsets=(0, joffs[lvl], koffs[lvl]))
+        s = vdt_ops._upsample_merge(s, fine, *pos_l)
+        rounds = (vdt_ops.PYRAMID_COARSE_ROUNDS if lvl > 0
+                  else tuple(vdt_ops.PYRAMID_LEVEL_ROUNDS)
+                  + (1,) * extra_polish)
+        for st in rounds:
+            s = _halo_pyramid_round(s, dx, st, scale_l, joffs[lvl],
+                                    koffs[lvl], use_pallas)
+
+    phi = jnp.sqrt(jnp.maximum(s[4], 0.0))
+    out_tid = vdt_ops.unpack_tid(s[3])
+    return (
+        jnp.where(freeze_mask, phi0, jnp.minimum(phi, phi0)),
+        jnp.where(freeze_mask, tid0, out_tid),
+    )
 
 
 def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
-                strides, chamfer_passes, seed_band, skip_recompute):
+                strides, chamfer_passes, seed_band, skip_recompute,
+                pyramid=False, use_pallas=False, kcap=0, gdims=None,
+                band_tiles_global=None):
     ni, nj_l, nk_l = block
 
-    def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed):
+    def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed,
+              pair, off, cnt, gids):
         # squeeze the (1, 1) device-block axes shard_map leaves on inputs
         b_ids, b_cand, b_valid = b_ids[0, 0], b_cand[0, 0], b_valid[0, 0]
         parity_packed = parity_packed[0, 0]
+        pair, off, cnt, gids = pair[0, 0], off[0, 0], cnt[0, 0], gids[0, 0]
 
         dj = jax.lax.axis_index("j")
         dk = jax.lax.axis_index("k")
@@ -315,46 +513,83 @@ def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
 
         tv_ng = jax.lax.stop_gradient(tri_verts)
 
-        phi_rows, tid_rows = tiled_ops.tile_candidate_rows(
-            tv_ng, b_ids, b_cand, b_valid, origin, dx,
-            tile_shape=tile_shape, tiles_dim=band_tiles_local,
-            grid_shape=(ni, nj_l, nk_l), chunk=band_chunk,
-            ijk_offset=ijk_off, upper_override=up,
-        )
-        table = tiled_ops.tri_affine_table(
-            tv_ng - origin.astype(tv_ng.dtype)
-        )
-        cp_rows = tiled_ops.closest_point_rows(
-            table, b_ids, tid_rows, dx,
-            tile_shape=tile_shape, tiles_dim=band_tiles_local,
-            chunk=band_chunk, ijk_offset=ijk_off, far=vdt_ops.FAR,
-        )
-        phi0, tid0 = tiled_ops.scatter_untile(
-            phi_rows, tid_rows, b_ids, up,
-            tile_shape, band_tiles_local, (ni, nj_l, nk_l),
-        )
-        cpx, cpy, cpz = (
-            tiled_ops.scatter_rows(
-                r, b_ids, vdt_ops.FAR, tile_shape, band_tiles_local,
-                (ni, nj_l, nk_l),
-            )
-            for r in cp_rows
-        )
+        if use_pallas and kcap > 0:
+            # fused Pallas CSR band kernel — the SAME kernel the single-chip
+            # bench runs (ops/band_pallas.py): rows are shard-LOCAL tiles,
+            # coordinates come from the GLOBAL tile ids, so per-cell values
+            # match the single-device run bit-for-bit
+            from ..ops import band_pallas
 
-        def halo_extend(state, s):
-            # corner-complete s-deep halos on the sharded j/k axes of the
-            # CHANNEL-FIRST (5, ni, nj_l, nk_l) state; the (unsharded) i
-            # axis is handled inside the VDT round
-            ext = _extend(state, "j", 2, vdt_ops.FAR, depth=s)
-            return _extend(ext, "k", 3, vdt_ops.FAR, depth=s)
+            T = int(np.prod(band_tiles_local))
+            phi_r, tid_r, cpx_r, cpy_r, cpz_r = band_pallas.band_rows_pallas(
+                tv_ng - origin.astype(tv_ng.dtype),
+                pair, b_ids, off, cnt, dx,
+                kcap=kcap, tiles_dim=band_tiles_local,
+                grid_shape=(ni, nj_l, nk_l),
+                coord_ids=gids, coord_tiles_dim=band_tiles_global,
+                coord_grid_shape=gdims,
+            )
+            active = jnp.zeros((T + 1,), bool).at[b_ids].set(True)
+            am = active[:T, None]
+
+            def unt(rows, fill):
+                rows = jnp.where(am, rows[:T], fill)
+                return tiled_ops.untile_rows(
+                    rows, tile_shape, band_tiles_local, (ni, nj_l, nk_l))
+
+            phi0 = unt(phi_r, up)
+            tid0 = unt(tid_r, jnp.int32(-1))
+            cpx = unt(cpx_r, vdt_ops.FAR)
+            cpy = unt(cpy_r, vdt_ops.FAR)
+            cpz = unt(cpz_r, vdt_ops.FAR)
+        else:
+            phi_rows, tid_rows = tiled_ops.tile_candidate_rows(
+                tv_ng, b_ids, b_cand, b_valid, origin, dx,
+                tile_shape=tile_shape, tiles_dim=band_tiles_local,
+                grid_shape=(ni, nj_l, nk_l), chunk=band_chunk,
+                ijk_offset=ijk_off, upper_override=up,
+            )
+            table = tiled_ops.tri_affine_table(
+                tv_ng - origin.astype(tv_ng.dtype)
+            )
+            cp_rows = tiled_ops.closest_point_rows(
+                table, b_ids, tid_rows, dx,
+                tile_shape=tile_shape, tiles_dim=band_tiles_local,
+                chunk=band_chunk, ijk_offset=ijk_off, far=vdt_ops.FAR,
+            )
+            phi0, tid0 = tiled_ops.scatter_untile(
+                phi_rows, tid_rows, b_ids, up,
+                tile_shape, band_tiles_local, (ni, nj_l, nk_l),
+            )
+            cpx, cpy, cpz = (
+                tiled_ops.scatter_rows(
+                    r, b_ids, vdt_ops.FAR, tile_shape, band_tiles_local,
+                    (ni, nj_l, nk_l),
+                )
+                for r in cp_rows
+            )
+
+        # the stage barrier the single-device core needs (fusing band into
+        # the VDT loops miscompiled there; keep the same boundary here)
+        phi0, tid0, cpx, cpy, cpz = jax.lax.optimization_barrier(
+            (phi0, tid0, cpx, cpy, cpz)
+        )
 
         freeze = (tid0 >= 0) & (phi0 <= jnp.float32(seed_band) * dx)
-        phi, tid = vdt_ops.vdt_far_field(
-            cpx, cpy, cpz, tid0, phi0, dx, strides, freeze_mask=freeze,
-            ijk_offset=(0, j_off, k_off), halo_extend=halo_extend,
-        )
+        if pyramid:
+            phi, tid = _sharded_pyramid(
+                cpx, cpy, cpz, tid0, phi0, dx, freeze, j_off, k_off,
+                gdims, use_pallas,
+            )
+        else:
+            phi, tid = vdt_ops.vdt_far_field(
+                cpx, cpy, cpz, tid0, phi0, dx, strides, freeze_mask=freeze,
+                ijk_offset=(0, j_off, k_off),
+                halo_extend=_state_halo_extend,
+            )
         if chamfer_passes > 0:
-            phi = _sharded_chamfer(phi, dx, chamfer_passes)
+            phi = _sharded_chamfer(phi, dx, chamfer_passes,
+                                   use_pallas=use_pallas and pyramid)
 
         parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
         if skip_recompute:
@@ -406,36 +641,47 @@ def _make_inner_dense(block, skip_recompute, interpret):
     static_argnames=(
         "mesh_obj", "block", "band_tiles_local", "tile_shape",
         "band_chunk", "strides", "chamfer_passes", "seed_band", "dense",
-        "skip_recompute",
+        "skip_recompute", "pyramid", "use_pallas", "kcap", "gdims",
+        "band_tiles_global",
     ),
 )
 def _sharded_core(
     tri_verts,
     band_ids, band_cand, band_valid, parity_packed,
     origin, dx,
+    csr_pair, csr_off, csr_cnt, band_gids,
     *, mesh_obj, block, band_tiles_local, tile_shape, band_chunk,
     strides, chamfer_passes, seed_band=3, dense=False, skip_recompute=False,
+    pyramid=False, use_pallas=False, kcap=0, gdims=None,
+    band_tiles_global=None,
 ):
     """Returns phi blocks (Dj, Dk, ni, nj_l, nk_l), grid-sharded over the mesh."""
     if dense:
         interpret = jax.default_backend() != "tpu"
         inner = _make_inner_dense(block, skip_recompute, interpret)
+
+        def inner_w(tv, o, d, bi, bc, bv, pp, *_unused):
+            return inner(tv, o, d, bi, bc, bv, pp)
     else:
-        inner = _make_inner(block, band_tiles_local, tile_shape,
-                            band_chunk, strides, chamfer_passes, seed_band,
-                            skip_recompute)
+        inner_w = _make_inner(block, band_tiles_local, tile_shape,
+                              band_chunk, strides, chamfer_passes, seed_band,
+                              skip_recompute, pyramid=pyramid,
+                              use_pallas=use_pallas, kcap=kcap, gdims=gdims,
+                              band_tiles_global=band_tiles_global)
     blk2 = P("j", "k", None)
     blk3 = P("j", "k", None, None)
     blk4 = P("j", "k", None, None, None)
     return shard_map(
-        inner,
+        inner_w,
         mesh=mesh_obj,
-        in_specs=(P(), P(), P(), blk2, blk3, blk3, blk4),
+        in_specs=(P(), P(), P(), blk2, blk3, blk3, blk4,
+                  blk2, blk2, blk2, blk2),
         out_specs=P("j", "k", None, None, None),
         check_vma=False,
     )(
         tri_verts, origin, dx,
         band_ids, band_cand, band_valid, parity_packed,
+        csr_pair, csr_off, csr_cnt, band_gids,
     )
 
 
@@ -456,24 +702,28 @@ def sharded_sdf(
         raise NotImplementedError("sharded pipeline currently supports far_field='exact'")
     dense = use_dense(cfg, len(binned.tris))
     ni, nj_l, nk_l = binned.block
-    if dense:
-        strides = ()
-    else:
+    Dj, Dk = binned.dims
+    gdims = (ni, nj_l * Dj, nk_l * Dk)
+    pyramid = (not dense and cfg.vdt_max_hop is None
+               and cfg.vdt_extra_rounds is None)
+    strides = ()
+    if pyramid:
+        _validate_pyramid_blocks(gdims, binned.block, binned.dims)
+    elif not dense:
         cap = cfg.vdt_max_hop
         if cap is None or cap > min(nj_l, nk_l):
             raise ValueError(
-                "sharded runs need config.vdt_max_hop <= the shard block on "
-                f"the sharded axes (min(nj_l, nk_l) = {min(nj_l, nk_l)}); a "
+                "the capped-ladder sharded mode (config.vdt_extra_rounds "
+                "set) needs config.vdt_max_hop <= the shard block on the "
+                f"sharded axes (min(nj_l, nk_l) = {min(nj_l, nk_l)}); a "
                 "single-device run with the same vdt_max_hop matches "
                 "bit-exactly"
             )
-        Dj, Dk = binned.dims
-        gshape = (ni, nj_l * Dj, nk_l * Dk)
         extra = cfg.vdt_extra_rounds
         if extra is None:
-            extra = 2 if max(gshape) <= 256 else 4
+            extra = 2 if max(gdims) <= 256 else 4
         strides = vdt_ops.stride_ladder(
-            max(gshape), max_hop=cap, extra_rounds=extra
+            max(gdims), max_hop=cap, extra_rounds=extra
         )
     # concrete (non-traced) verts cannot be differentiated through anyway, so
     # the dense path may apply the sign directly instead of re-evaluating
@@ -481,12 +731,23 @@ def sharded_sdf(
     skip_recompute = not isinstance(verts, jax.core.Tracer)
     v = jnp.asarray(verts if verts is not None else _require_verts(binned))
     tri_verts = v[jnp.asarray(binned.tris)]
+    use_pallas = (pyramid and binned.csr_pair is not None
+                  and jax.default_backend() == "tpu")
+    dummy2 = np.zeros((Dj, Dk, 0), np.int32)
     out = _sharded_core(
         tri_verts,
-        jnp.asarray(binned.band_ids), jnp.asarray(binned.band_cand),
-        jnp.asarray(binned.band_valid),
+        jnp.asarray(binned.band_ids),
+        # the Pallas band never reads the (A, K) matrices — don't ship them
+        jnp.zeros((Dj, Dk, 0, 1), np.int32) if use_pallas
+        else jnp.asarray(binned.band_cand),
+        jnp.zeros((Dj, Dk, 0, 1), bool) if use_pallas
+        else jnp.asarray(binned.band_valid),
         jnp.asarray(binned.parity_packed),
         jnp.asarray(binned.grid.origin, jnp.float32), jnp.float32(binned.grid.dx),
+        jnp.asarray(binned.csr_pair) if use_pallas else jnp.asarray(dummy2),
+        jnp.asarray(binned.csr_off) if use_pallas else jnp.asarray(dummy2),
+        jnp.asarray(binned.csr_cnt) if use_pallas else jnp.asarray(dummy2),
+        jnp.asarray(binned.band_gids) if use_pallas else jnp.asarray(dummy2),
         mesh_obj=device_mesh, block=binned.block,
         band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
         band_chunk=cfg.band_chunk, strides=strides,
@@ -494,6 +755,11 @@ def sharded_sdf(
         seed_band=max(cfg.exact_band, 3),
         dense=dense,
         skip_recompute=skip_recompute,
+        pyramid=pyramid,
+        use_pallas=use_pallas,
+        kcap=binned.kcap if use_pallas else 0,
+        gdims=gdims,
+        band_tiles_global=binned.band_tiles_global,
     )
     if not assemble:
         return out
@@ -507,3 +773,26 @@ def sharded_sdf(
 
 def _require_verts(binned: ShardedBinned):
     raise ValueError("sharded_sdf needs `verts` (ShardedBinned stores only tris)")
+
+
+def _validate_pyramid_blocks(gdims, block, dims):
+    """The pyramid's halo repair rounds (stride <= 8) need each level's
+    local block to cover the halo depth on any axis that is actually
+    sharded. Blocks are tile-8 multiples, so this only bites tiny blocks on
+    deep pyramids."""
+    L = len(vdt_ops.pyramid_level_shapes(gdims))
+    if L == 1:
+        # single-level pyramid (grid <= _COARSE_MAX): the whole state is
+        # gathered and the full ladder runs replicated — no halo rounds, so
+        # any block size works
+        return
+    _, nj_l, nk_l = block
+    Dj, Dk = dims
+    need = 8 << (L - 2)
+    if (Dj > 1 and nj_l < need) or (Dk > 1 and nk_l < need):
+        raise ValueError(
+            f"sharded pyramid far field needs shard blocks >= {need} cells "
+            f"on sharded axes for this grid (got nj_l={nj_l}, nk_l={nk_l}); "
+            "use fewer devices on that axis, or set config.vdt_max_hop for "
+            "the capped-ladder schedule"
+        )

@@ -192,16 +192,43 @@ def _upload_binned(mesh, parity, crossings, csr=None):
     return pack_device_blob(arrays)
 
 
+def _host_parity_choose(mesh, grid, mode):
+    """Host parity in the requested transport: (packed, crossings), one None.
+
+    "auto" computes the SOS predicates ONCE (as crossings) and ships
+    whichever encoding is smaller — the packed field, when it wins, is
+    derived from the crossings (sign_host.packed_from_crossings), never a
+    second predicate pass. Crossings win whenever max crossings/column
+    < ni/16 (every benchmark mesh; the host link costs ~16 ms/MB)."""
+    if mode == "auto":
+        cross = sign_host_ops.crossings_host(mesh.verts, mesh.tris, grid)
+        # smaller transport wins: C int16 rows/column vs ni/8 bit bytes
+        if cross.shape[0] * 2 < -(-grid.shape[0] // 8):
+            return None, cross
+        return sign_host_ops.packed_from_crossings(
+            cross, grid.shape[0]), None
+    if mode == "crossings":
+        return None, sign_host_ops.crossings_host(
+            mesh.verts, mesh.tris, grid)
+    if mode != "packed":
+        raise ValueError(f"unknown parity_transport: {mode}")
+    return sign_host_ops.parity_packed_host(
+        mesh.verts, mesh.tris, grid), None
+
+
 def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Binned:
     mesh.validate_indices()
     if use_dense(config, len(mesh.tris)) and config.sign_mode == "host":
-        if config.parity_transport == "crossings":
-            cross = sign_host_ops.crossings_host(mesh.verts, mesh.tris, grid)
+        # "auto" picks the smaller transport here too (round-4 always
+        # shipped packed on the dense path: at box256 that was a 4.6 MB
+        # upload where the crossings are ~0.6 MB — ~65 ms of tunnel time)
+        packed, cross = _host_parity_choose(mesh, grid,
+                                            config.parity_transport)
+        if cross is not None:
             return Binned(grid, config, None, None,
                           mesh.tris.astype(np.int32), None,
                           parity_crossings=cross,
                           device=_upload_binned(mesh, None, cross))
-        packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
         return Binned(grid, config, None, None,
                       mesh.tris.astype(np.int32), packed,
                       device=_upload_binned(mesh, packed, None))
@@ -233,23 +260,6 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
             np.pad(b.cand_valid, ((0, pad), (0, 0))),
         )
 
-    def host_parity(grid):
-        mode = config.parity_transport
-        if mode == "auto":
-            cross = sign_host_ops.crossings_host(mesh.verts, mesh.tris, grid)
-            # smaller transport wins: C int16 rows/column vs ni/8 bit bytes
-            if cross.shape[0] * 2 < -(-grid.shape[0] // 8):
-                return None, cross
-            mode = "packed"
-        if mode == "crossings":
-            return None, sign_host_ops.crossings_host(
-                mesh.verts, mesh.tris, grid)
-        if mode != "packed":
-            raise ValueError(
-                f"unknown parity_transport: {config.parity_transport}")
-        return sign_host_ops.parity_packed_host(
-            mesh.verts, mesh.tris, grid), None
-
     def build_csr(bb):
         from .ops import band_pallas
         pair, off, cnt = band_pallas.band_csr_from_binning(
@@ -270,7 +280,8 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
                 "ids": ids}
 
     if config.sign_mode == "host":
-        packed, cross = host_parity(grid)
+        packed, cross = _host_parity_choose(mesh, grid,
+                                            config.parity_transport)
         csr = build_csr(bb)
         return Binned(grid, config, pad_band(bb), None,
                       mesh.tris.astype(np.int32), packed,
@@ -791,9 +802,15 @@ def make_level_set3(
         )
 
     # on the Pallas band path the (A, K) candidate matrices are never read
-    # — shipping them anyway would cost ~4 MB of tunnel upload per call
+    # — shipping them anyway would cost ~4 MB of tunnel upload per call.
+    # The predicate must MATCH sdf_from_tri_verts' schedule selection: an
+    # explicit vdt_max_hop/vdt_extra_rounds selects the flat (non-pyramid)
+    # ladder whose band runs through the XLA tile path, which needs the
+    # (A, K) matrices (dropping them crashed tile_candidate_rows at K=0).
     pallas_band = (binned.band_csr is not None and is_tpu_platform()
                    and config.far_field == "exact"
+                   and config.vdt_max_hop is None
+                   and config.vdt_extra_rounds is None
                    and (binned.band.tile_shape if binned.band else None)
                    == (8, 8, 8))
     if binned.band is not None:

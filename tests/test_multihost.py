@@ -65,6 +65,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dense_cap", [1024, 0])
 def test_two_process_matches_single_process(tmp_path, dense_cap):
     out = str(tmp_path / "phi_mh.npy")

@@ -122,6 +122,7 @@ def test_sparse_golden_256_sphere6():
     assert err.max() < 0.2 * dx, f"far-field divergence {err.max():.3e}"
 
 
+@pytest.mark.slow
 def test_sparse_golden_512_sphere6():
     """512-class parity vs the reference binary, from the SPARSE golden
     (tools/make_goldens.py --sparse-512): sign of EVERY cell, exact values

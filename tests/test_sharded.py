@@ -106,6 +106,7 @@ class TestShardedGradients:
         )
 
 
+@pytest.mark.slow
 class TestSharded512Class:
     def test_512_class_halo_ladder_matches_single_device(self):
         # BASELINE config 4's sharded-correctness analog on the virtual CPU
@@ -123,6 +124,7 @@ class TestSharded512Class:
         _assert_equivalent(phi_sharded, phi_single)
 
 
+@pytest.mark.slow
 class TestSharded1024Class:
     def test_1024_class_halo_ladder_matches_single_device(self):
         # BASELINE config 5's grid scale on the virtual CPU mesh: 1024-wide
