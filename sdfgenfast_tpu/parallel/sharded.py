@@ -73,55 +73,85 @@ __all__ = ["make_device_mesh", "ShardedBinned", "bin_mesh_sharded",
            "sharded_sdf", "halo_comms_model"]
 
 
-def halo_comms_model(grid_shape, dims, max_hop, extra_rounds=None,
+def halo_comms_model(grid_shape, dims, max_hop=None, extra_rounds=None,
                      chamfer_passes=2):
     """Exact per-round communication accounting of the sharded far field.
 
-    The compiled program's collectives are fully determined by the config:
-    each capped-ladder VDT round exchanges ONE corner-complete halo of depth
-    s on each sharded axis via two ppermute phases (j-planes of the (5, ni,
-    nj_l, nk_l) state, then k-planes of the j-extended block), and each
-    chamfer pass exchanges 1-cell halos of the (ni, nj_l, nk_l) scalar
-    field the same way. Each phase sends BOTH directions (lo and hi
-    neighbors). Returns the round-by-round byte counts so real-slice
-    deployments can size max_hop:
+    The compiled program's collectives are fully determined by the config.
+    `max_hop=None` models the DEFAULT pyramid schedule: zero comms for the
+    local downsamples, one two-phase all_gather of the (tiny) coarsest
+    state (ring cost (D-1)/D of the full level state per axis), then for
+    each descent level the short-stride (<= 8) repair rounds each exchange
+    one corner-complete s-deep halo via two ppermute phases (j-planes of
+    the (5, ni_l, nj_l, nk_l) level state, then k-planes of the j-extended
+    block). An integer max_hop models the legacy capped ladder instead:
+    each round exchanges one max_hop-capped slab the same two-phase way.
+    Each phase sends BOTH directions (lo and hi neighbors). The final
+    chamfer exchanges one `passes`-deep halo (one two-phase exchange
+    total).
 
-    total VDT bytes/device ~= sum_s 2 * 5 * 4 * ni * s * (nk_l + (nj_l+2s))
-    — larger hops mean FEWER rounds (the ladder repeats the cap until the
-    full reach is covered) at proportionally larger slabs, so TOTAL bytes
-    are nearly hop-independent while ppermute LATENCY counts scale with
-    round count: on real ICI (~1 us/collective, ~100 GB/s/link) the slabs
-    are bandwidth-sized from ~1 MB up, so the policy is max_hop = the shard
-    block (the largest legal value), which `sharded_sdf` applies when
-    config.vdt_max_hop is None.
+    Capped-ladder total ~= sum_s 2*5*4*ni*s*(nk_l + (nj_l+2s)) — hop-size
+    changes rounds, not total bytes. The pyramid total is far smaller: the
+    long-range strides run on the gathered coarse grid (replicated compute,
+    zero comms), so only ~10 short-stride rounds exchange halos — the same
+    reason it wins on wall-clock single-device. Policy: the pyramid is the
+    default; cap the ladder only when bit-equality with a specific capped
+    single-device run is required.
     """
     ni, nj, nk = grid_shape
     Dj, Dk = dims
     nj_l, nk_l = nj // Dj, nk // Dk
-    if extra_rounds is None:
-        extra_rounds = 2 if max(grid_shape) <= 256 else 4
-    strides = vdt_ops.stride_ladder(
-        max(grid_shape), max_hop=max_hop, extra_rounds=extra_rounds)
-    rounds = []
     f32 = 4
-    for s_ in strides:
-        # j phase: two directed sends of (5, ni, s, nk_l); k phase operates
-        # on the j-extended block: (5, ni, nj_l + 2s, s)
-        j_bytes = 2 * 5 * f32 * ni * s_ * nk_l
-        k_bytes = 2 * 5 * f32 * ni * (nj_l + 2 * s_) * s_
-        rounds.append({"stride": int(s_), "halo_bytes": j_bytes + k_bytes})
-    cham_bytes = chamfer_passes * (
-        2 * f32 * ni * nk_l + 2 * f32 * ni * (nj_l + 2))
+    rounds = []
+    gathers = []
+    if max_hop is None:
+        lshapes = vdt_ops.pyramid_level_shapes(grid_shape)
+        L = len(lshapes)
+        ni_c, nj_c, nk_c = lshapes[-1]
+        # two-phase ring all_gather of the coarsest (5, ni_c, ...) state
+        state_c = 5 * f32 * ni_c * (nj_c // Dj) * (nk_c // Dk)
+        gathers.append({"phase": "all_gather_j",
+                        "bytes": int(state_c * (Dj - 1))})
+        gathers.append({"phase": "all_gather_k",
+                        "bytes": int(state_c * Dj * (Dk - 1) // 1)})
+        for lvl in range(L - 2, -1, -1):
+            ni_lvl, njl, nkl = (lshapes[lvl][0],
+                                nj_l >> lvl, nk_l >> lvl)
+            sched = (vdt_ops.PYRAMID_COARSE_ROUNDS if lvl > 0
+                     else tuple(vdt_ops.PYRAMID_LEVEL_ROUNDS) + (1, 1))
+            for s_ in sched:
+                j_bytes = 2 * 5 * f32 * ni_lvl * s_ * nkl
+                k_bytes = 2 * 5 * f32 * ni_lvl * (njl + 2 * s_) * s_
+                rounds.append({"level": lvl, "stride": int(s_),
+                               "halo_bytes": j_bytes + k_bytes})
+    else:
+        if extra_rounds is None:
+            extra_rounds = 2 if max(grid_shape) <= 256 else 4
+        strides = vdt_ops.stride_ladder(
+            max(grid_shape), max_hop=max_hop, extra_rounds=extra_rounds)
+        for s_ in strides:
+            # j phase: two directed sends of (5, ni, s, nk_l); k phase
+            # operates on the j-extended block: (5, ni, nj_l + 2s, s)
+            j_bytes = 2 * 5 * f32 * ni * s_ * nk_l
+            k_bytes = 2 * 5 * f32 * ni * (nj_l + 2 * s_) * s_
+            rounds.append({"stride": int(s_),
+                           "halo_bytes": j_bytes + k_bytes})
+    p = chamfer_passes
+    cham_bytes = (2 * f32 * ni * p * nk_l
+                  + 2 * f32 * ni * (nj_l + 2 * p) * p)
     return {
         "grid": list(grid_shape),
         "device_mesh": [Dj, Dk],
-        "max_hop": int(max_hop),
-        "vdt_rounds": len(strides),
+        "schedule": "pyramid" if max_hop is None else "capped_ladder",
+        "max_hop": None if max_hop is None else int(max_hop),
+        "vdt_rounds": len(rounds),
         "rounds": rounds,
-        "vdt_total_bytes_per_device": int(sum(r["halo_bytes"]
-                                              for r in rounds)),
+        "coarse_gathers": gathers,
+        "vdt_total_bytes_per_device": int(
+            sum(r["halo_bytes"] for r in rounds)
+            + sum(g["bytes"] for g in gathers)),
         "chamfer_bytes_per_device": int(cham_bytes),
-        "ppermute_calls": 2 * len(strides) + 2 * chamfer_passes,
+        "ppermute_calls": 2 * len(rounds) + 2,
     }
 
 

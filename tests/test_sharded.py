@@ -77,6 +77,103 @@ class TestShardedParity:
             bin_mesh_sharded(m, g, dmesh.devices.shape, SDFConfig())
 
 
+class TestShardedPyramid:
+    """The DEFAULT sharded schedule (no vdt_max_hop): the same pyramid far
+    field the single-chip bench runs, distributed via local downsamples +
+    an all_gather'ed coarsest ladder + halo-extended repair rounds. Must
+    reproduce the single-device pyramid result (identical arithmetic; the
+    tolerance covers XLA fusion/FMA reassociation across the two program
+    structures plus symmetric-tie adoptions, as in _assert_equivalent)."""
+
+    def test_small_grid_single_level(self):
+        # grid <= 48: a one-level pyramid — the whole state is gathered and
+        # the ladder runs replicated
+        dmesh = _mesh_or_skip()
+        m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
+        g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
+        cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=0)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
+
+    def test_two_level_pyramid_matches(self):
+        # 64-class: one downsample + halo repair rounds at full resolution
+        dmesh = _mesh_or_skip()
+        m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
+        g = GridSpec((-1.4, -1.4, -1.4), 2.8 / 64, (64, 64, 64))
+        cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=0)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
+
+    def test_three_level_pyramid_matches(self):
+        # 128-wide sharded axes with a thin i: two downsamples, so repair
+        # rounds run at intermediate levels too (halo depth up to 8 at the
+        # half-resolution level)
+        dmesh = _mesh_or_skip()
+        m = icosphere(3, radius=1.0, center=(0.03, -0.02, 0.01))
+        g = GridSpec((-1.25, -1.25, -1.25), 2.5 / 128, (8, 128, 128))
+        cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=0)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
+
+    def test_block_too_small_raises(self):
+        dmesh = _mesh_or_skip(shape=(1, 8))
+        m = icosphere(2, radius=1.0)
+        # nk_l = 64/8 = 8 < 16 needed for a three-level pyramid
+        g = GridSpec((-1.25, -1.25, -1.25), 2.5 / 128, (8, 128, 64))
+        cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=0)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        with pytest.raises(ValueError, match="pyramid"):
+            sharded_sdf(sb, dmesh, verts=m.verts)
+
+    def test_gradient_matches_single_device(self):
+        dmesh = _mesh_or_skip()
+        m = icosphere(1, radius=0.9, center=(0.02, 0.01, -0.03))
+        # break the icosphere's symmetries: tied closest triangles resolve
+        # by strict '<' on f32 distances, and XLA's different fusion of the
+        # sharded vs single-device programs can flip a 1-ulp tie — a
+        # legitimate subgradient ambiguity, not a sharding defect. An
+        # asymmetric mesh makes exact ties measure-zero.
+        rng = np.random.default_rng(7)
+        m = type(m)(
+            (m.verts + rng.uniform(-0.02, 0.02, m.verts.shape)
+             ).astype(np.float32),
+            m.tris,
+        )
+        g = GridSpec((-1.3, -1.3, -1.3), 2.6 / 64, (64, 64, 64))
+        cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=0)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        binned = bin_mesh(m, g, cfg)
+        rng = np.random.default_rng(3)
+        w = jnp.asarray(rng.standard_normal(g.shape).astype(np.float32))
+        g_sharded = np.asarray(jax.grad(
+            lambda v: jnp.sum(sharded_sdf(sb, dmesh, verts=v) * w)
+        )(jnp.asarray(m.verts)))
+        g_single = np.asarray(jax.grad(
+            lambda v: jnp.sum(
+                make_level_set3(m, g, cfg, binned=binned, verts=v) * w
+            )
+        )(jnp.asarray(m.verts)))
+        # At cells whose two closest triangles are within ~1 ulp, the
+        # strict-'<' winner can flip between the two program structures
+        # (XLA fuses them differently); the flipped cell's gradient then
+        # legitimately attributes to the OTHER triangle's vertices. Over a
+        # 64^3 far field a handful of such cells is expected, so assert
+        # agreement everywhere but a small component fraction, plus a tight
+        # aggregate bound.
+        diff = np.abs(g_sharded - g_single)
+        tol = 1e-4 + 5e-3 * np.abs(g_single)
+        frac_bad = float((diff > tol).mean())
+        assert frac_bad < 0.03, f"{frac_bad:.3f} of components deviate"
+        scale = max(np.abs(g_single).max(), 1e-6)
+        assert float(np.median(diff)) < 1e-4 * scale
+
+
 class TestShardedGradients:
     @pytest.mark.parametrize("dense_cap", [1024, 0])
     def test_gradient_matches_single_device(self, dense_cap):

@@ -56,10 +56,22 @@ def bench(devs, mesh, grid, cfg, repeats=3):
 def main():
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     mesh = icosphere(4, radius=1.0)
-    # grid divisible by every tested mesh shape; vdt_max_hop <= the smallest
-    # shard block so every device count runs the identical capped ladder
+    # grid divisible by every tested mesh shape. Default schedule = the
+    # PYRAMID (the fast path the single-chip bench runs, now sharded);
+    # pass --ladder to measure the legacy capped ladder instead.
     grid = GridSpec((-1.3, -1.3, -1.3), 2.6 / nx, (nx, nx, nx))
-    cfg = SDFConfig(dense_max_tris=0, vdt_max_hop=8)
+    ladder = "--ladder" in sys.argv
+    cfg = SDFConfig(dense_max_tris=0, vdt_max_hop=8 if ladder else None)
+
+    from sdfgenfast_tpu.parallel.sharded import halo_comms_model
+    cm = halo_comms_model(grid.shape, (2, 4),
+                          max_hop=8 if ladder else None)
+    print(f"comms model [{cm['schedule']}] on (2,4): "
+          f"{cm['vdt_rounds']} halo rounds, "
+          f"{cm['ppermute_calls']} ppermute calls, "
+          f"{cm['vdt_total_bytes_per_device']/1e6:.2f} MB/device VDT "
+          f"(+{cm['chamfer_bytes_per_device']/1e6:.3f} MB chamfer)",
+          file=sys.stderr, flush=True)
 
     rows = []
     ref_v = None
@@ -86,8 +98,10 @@ def main():
         base = json.load(f)
     base.setdefault("published", {})["device_scaling_virtual_cpu_mesh"] = {
         "workload": f"icosphere(4) {mesh.num_tris} tris, grid {list(grid.shape)}, "
-                    "band+VDT sharded path, vdt_max_hop=8",
+                    + ("band+VDT sharded path, vdt_max_hop=8" if ladder
+                       else "band+PYRAMID sharded path (default schedule)"),
         "note": "virtual CPU devices share host cores; trend evidence only",
+        "comms_model_2x4": cm,
         "rows": [
             {"devices": d, "mvoxels_per_sec": round(v / 1e6, 2),
              "speedup": round(s, 2), "efficiency": round(e, 3)}
