@@ -46,7 +46,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_config(mesh, grid, config, repeats=3):
+_RTT_HEALTHY_S = 0.08  # healthy tunnel sync RTT ~25 ms; degraded ~370 ms
+
+
+def probe_rtt():
+    """Min of 3 tiny synchronous round trips — the tunnel phase detector.
+
+    The axon tunnel has multi-minute DEGRADED PHASES (sync RTT 25 ms ->
+    ~370 ms, uploads 5x slower). A tiny dispatch+transfer measures the
+    current phase directly, independent of our kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda v: v + 1.0)
+    x = jnp.ones((8, 128), jnp.float32)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_config(mesh, grid, config, repeats=3, budget_s=360.0):
     from sdfgenfast_tpu.pipeline import bin_mesh, make_level_set3
 
     t0 = time.perf_counter()
@@ -63,22 +85,35 @@ def bench_config(mesh, grid, config, repeats=3):
     phi = make_level_set3(mesh, grid, config, binned=binned)
     phi.block_until_ready()
 
+    # Phase-robust sampling: take reps only while the tunnel is HEALTHY
+    # (probe RTT < 80 ms); in a degraded phase, wait it out (phases last
+    # minutes) instead of recording 2-5x-inflated walls. Stop once the two
+    # smallest healthy samples agree within 10% (a reproducible minimum)
+    # after `repeats` healthy reps, or when the budget runs out — then fall
+    # back to whatever was measured.
     times = []
-    for r in range(repeats * 3):
+    rtts = []
+    start = time.perf_counter()
+    waited = 0.0
+    while time.perf_counter() - start < budget_s:
+        rtt = probe_rtt()
+        rtts.append(rtt)
+        if rtt > _RTT_HEALTHY_S and len(times) < repeats * 3:
+            log(f"  [degraded tunnel: rtt {rtt*1e3:.0f} ms — waiting]")
+            time.sleep(15.0)
+            waited += 15.0
+            continue
         t0 = time.perf_counter()
         b = bin_mesh(mesh, grid, config)  # host preprocessing counts
         phi = make_level_set3(mesh, grid, config, binned=b)
         phi.block_until_ready()
         times.append(time.perf_counter() - t0)
-        # adaptive: the tunnel has multi-minute DEGRADED PHASES (sync RTT
-        # 25 ms -> ~370 ms, uploads 5x slower) on top of per-call
-        # stragglers; stop once the two smallest samples agree within 20%
-        # (a reproducible minimum), else keep sampling up to 3x nominal
-        if r + 1 >= repeats:
+        if len(times) >= repeats:
             lo = sorted(times)[:2]
-            if len(lo) == 2 and lo[1] <= 1.2 * lo[0]:
+            if lo[1] <= 1.1 * lo[0]:
                 break
-    log(f"  reps: {[round(x, 3) for x in times]}")
+    log(f"  reps: {[round(x, 3) for x in times]} "
+        f"(rtt min {min(rtts)*1e3:.0f} ms, waited {waited:.0f}s degraded)")
     # min, not median: the remote-tunnel device adds multi-second stragglers
     # run-to-run (identical compiled programs measured 0.38s and 6.2s within
     # minutes); the minimum is the reproducible steady-state figure
@@ -91,6 +126,7 @@ def bench_config(mesh, grid, config, repeats=3):
         "compile_s": t_compile,
         "voxels_per_sec": grid.num_cells / t,
         "inside_frac": float((np.asarray(phi) < 0).mean()),
+        "rtt_ms": round(min(rtts) * 1e3, 1),
     }
 
 

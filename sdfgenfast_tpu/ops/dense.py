@@ -325,7 +325,8 @@ def _dense_impl(tri_verts, origin, dx, ijk_offset, *, grid_shape, interpret):
     # reference's difference-form accuracy (cells evaluate at x = i*dx).
     tri_local = tri_verts - origin.astype(tri_verts.dtype)
     zero = jnp.float32(0)
-    params = jnp.stack([zero, zero, zero, jnp.float32(dx)]).reshape(1, 4)
+    dxs = jnp.asarray(dx, jnp.float32).reshape(())  # accept (1,) blob dx
+    params = jnp.stack([zero, zero, zero, dxs]).reshape(1, 4)
     offs = ijk_offset.astype(jnp.int32).reshape(1, 3)
 
     rows = ni * nj

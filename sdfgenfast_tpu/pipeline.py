@@ -147,6 +147,16 @@ def _bucket(n: int, minimum: int = 64, shift: int = 4) -> int:
     return -(-n // p) * p
 
 
+def _dx_scalar(dx):
+    """Normalize dx to a 0-d value INSIDE a jit.
+
+    The hot paths ship dx (and origin) to the device once, in the binning
+    blob, as a (1,) array — a fresh `jnp.float32(dx)` per call costs a
+    ~27 ms fixed tunnel transfer (measured round 5). Legacy paths still
+    pass a scalar; both trace to the same program."""
+    return jnp.asarray(dx).reshape(())
+
+
 def _vdt_axis_perm(grid_shape):
     """Axis order for the pyramid VDT: largest dim on lanes (k), next on
     sublanes (j) — minimizes the lane-padded cell count roundup(k, 128) *
@@ -171,14 +181,22 @@ def use_dense(config: SDFConfig, num_tris: int) -> bool:
     return config.far_field == "exact" and 0 < num_tris <= cap
 
 
-def _upload_binned(mesh, parity, crossings, csr=None):
-    """One-blob device upload of the per-binning pipeline inputs."""
+def _upload_binned(mesh, parity, crossings, csr=None, grid=None):
+    """One-blob device upload of the per-binning pipeline inputs.
+
+    origin/dx ride in the blob too: a fresh `jnp.asarray(origin)` /
+    `jnp.float32(dx)` per call each cost a ~27 ms fixed-overhead tunnel
+    transfer — measured round 5, they were most of the warm-call wall at
+    box256 (the dense kernel itself is ~10 ms)."""
     from .upload import pack_device_blob
 
     arrays = {
         "verts": np.ascontiguousarray(mesh.verts, np.float32),
         "tris": mesh.tris.astype(np.int32),
     }
+    if grid is not None:
+        arrays["origin"] = np.asarray(grid.origin, np.float32)
+        arrays["dxv"] = np.asarray([grid.dx], np.float32)
     if parity is not None:
         arrays["parity"] = parity
     if crossings is not None:
@@ -189,7 +207,7 @@ def _upload_binned(mesh, parity, crossings, csr=None):
         arrays["cnt"] = csr["cnt"]
         if "ids" in csr:
             arrays["ids"] = csr["ids"]
-    return pack_device_blob(arrays)
+    return pack_device_blob(arrays, unpack_now=False)
 
 
 def _host_parity_choose(mesh, grid, mode):
@@ -228,10 +246,10 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
             return Binned(grid, config, None, None,
                           mesh.tris.astype(np.int32), None,
                           parity_crossings=cross,
-                          device=_upload_binned(mesh, None, cross))
+                          device=_upload_binned(mesh, None, cross, grid=grid))
         return Binned(grid, config, None, None,
                       mesh.tris.astype(np.int32), packed,
-                      device=_upload_binned(mesh, packed, None))
+                      device=_upload_binned(mesh, packed, None, grid=grid))
     # The FDT far field draws its candidates from band-result winners; a
     # >=3-cell seed band makes the 27-neighborhood union cover the true
     # closest triangle for near-band cells (measured: max far-field error
@@ -287,7 +305,7 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
                       mesh.tris.astype(np.int32), packed,
                       band_csr=csr, seed_band=bin_band,
                       parity_crossings=cross,
-                      device=_upload_binned(mesh, packed, cross, csr))
+                      device=_upload_binned(mesh, packed, cross, csr, grid=grid))
     elif config.sign_mode != "device":
         raise ValueError(f"unknown sign_mode: {config.sign_mode}")
 
@@ -301,7 +319,7 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
     csr = build_csr(bb)
     return Binned(grid, config, pad_band(bb), sb, mesh.tris.astype(np.int32),
                   band_csr=csr, seed_band=bin_band,
-                  device=_upload_binned(mesh, None, None, csr))
+                  device=_upload_binned(mesh, None, None, csr, grid=grid))
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +411,7 @@ def _exact_core(
     sign application :295-303) with TPU-shaped algorithms.
     """
     ni, nj, nk = grid_shape
+    dx = _dx_scalar(dx)
     upper = (jnp.float32(ni + nj + nk)) * dx
     # triangle-vertex gather INSIDE the jit: through the axon tunnel every
     # separate dispatch costs a ~25 ms synchronous round trip
@@ -510,7 +529,9 @@ def _exact_core(
 
 
 @partial(jax.jit, static_argnames=("chunk_cells",))
-def _recompute_stage(tri_verts, tid, parity, origin, dx, upper, chunk_cells=1 << 20):
+def _recompute_stage(tri_verts, tid, parity, origin, dx, chunk_cells=1 << 20):
+    dx = _dx_scalar(dx)
+    upper = jnp.float32(sum(tid.shape)) * dx  # makelevelset3.cpp:197
     return _recompute_phi(tri_verts, tid, parity, origin, dx, upper,
                           chunk_cells=chunk_cells)
 
@@ -548,11 +569,49 @@ def _dense_sign_core(verts, tris, parity_packed, origin, dx, *,
     Through the axon tunnel each separate dispatch costs a ~25 ms
     synchronous round trip — at box256's ~130 ms budget (10x the RTX-4090
     anchor) the old 3-dispatch structure spent over half the budget idle."""
+    dx = _dx_scalar(dx)
     tri_verts = verts[tris]
     phi_d, tid = dense_ops.dense_distance_field(
         tri_verts, origin, dx, grid_shape=grid_shape, interpret=interpret)
     parity = _parity_device(parity_packed, grid_shape[0])
     return jnp.where(parity, -phi_d, phi_d), tid
+
+
+@partial(jax.jit, static_argnames=("meta", "grid_shape", "interpret"))
+def _dense_sign_blob_core(blob, *, meta, grid_shape, interpret):
+    """Blob-direct dense path: the upload is a bare device_put and this ONE
+    dispatch does unpack + gather + dense kernel + sign. Each separate
+    dispatch costs a ~25 ms synchronous tunnel round trip, and the
+    separate at-bin-time unpack dispatch was another ~25 ms — at box256's
+    ~130 ms end-to-end budget (10x the RTX-4090 anchor) both matter."""
+    from .upload import unpack_blob
+
+    v = unpack_blob(blob, meta)
+    parity = v.get("parity", v.get("crossings"))
+    return _dense_sign_core(v["verts"], v["tris"], parity, v["origin"],
+                            v["dxv"], grid_shape=grid_shape,
+                            interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=(
+    "meta", "grid_shape", "tile_shape", "tiles_dim", "chamfer_passes",
+    "band_chunk", "seed_band", "band_kcap"))
+def _exact_blob_core(blob, *, meta, grid_shape, tile_shape, tiles_dim,
+                     chamfer_passes, band_chunk, seed_band, band_kcap):
+    """Blob-direct fused exact path (Pallas CSR band + pyramid VDT + fused
+    sign) — ONE dispatch per call; see _dense_sign_blob_core."""
+    from .upload import unpack_blob
+
+    v = unpack_blob(blob, meta)
+    parity = v.get("parity", v.get("crossings"))
+    di = jnp.zeros((0,), jnp.int32)
+    return _exact_core(
+        v["verts"], v["tris"], v["ids"], di, di, parity,
+        v["origin"], v["dxv"], v["pair"], v["off"], v["cnt"],
+        grid_shape=grid_shape, tile_shape=tile_shape, tiles_dim=tiles_dim,
+        strides=(), chamfer_passes=chamfer_passes, band_chunk=band_chunk,
+        seed_band=seed_band, jacobi=False, apply_sign=True, pyramid=True,
+        use_pallas=True, band_kcap=band_kcap)
 
 
 def sdf_from_tri_verts(
@@ -600,7 +659,6 @@ def sdf_from_tri_verts(
     `_recompute_stage` is differentiable, everything upstream is integer
     fields behind stop_gradient, so stage boundaries cost nothing."""
     ni, nj, nk = grid_shape
-    upper = jnp.float32(ni + nj + nk) * dx
 
     if verts is None or tris is None:
         verts = jax.lax.stop_gradient(tri_verts).reshape(-1, 3)
@@ -634,7 +692,7 @@ def sdf_from_tri_verts(
             )
             if skip_recompute:
                 return _sign_apply_stage(phi_d, parity), tid
-        return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
+        return _recompute_stage(tri_verts, tid, parity, origin, dx), tid
 
     if far_field == "exact":
         # ONE fused program: band + closest-point jump-flood far field
@@ -681,7 +739,7 @@ def sdf_from_tri_verts(
             return _sign_apply_stage(phi, parity), tid
         if tri_verts is None:
             tri_verts = verts[tris]
-        return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
+        return _recompute_stage(tri_verts, tid, parity, origin, dx), tid
 
     if tv_ng is None:
         tv_ng = verts[tris]
@@ -719,14 +777,14 @@ def sdf_from_tri_verts(
         phi, tid = sweep_ops.propagate_closest_triangles(
             phi0, tid0, tv_ng, origin, dx, max_passes=max_passes
         )
-        return _recompute_stage(tri_verts, tid, parity, origin, dx, upper), tid
+        return _recompute_stage(tri_verts, tid, parity, origin, dx), tid
     elif far_field == "eikonal":
         iters = eikonal_iters if eikonal_iters is not None else 2 * max(grid_shape)
         frozen = tid0 >= 0
         phi = sweep_ops.eikonal_far_field(phi0, frozen, dx, iters)
         # Differentiable on the frozen band only; far field follows Eikonal
         # estimates (matching the CUDA backend's semantics, .cu:487-551).
-        band_phi = _recompute_stage(tri_verts, tid0, parity, origin, dx, upper)
+        band_phi = _recompute_stage(tri_verts, tid0, parity, origin, dx)
         far_phi = jnp.where(parity, -phi, phi)
         return jnp.where(frozen, band_phi, far_phi), tid0
     else:
@@ -764,6 +822,40 @@ def make_level_set3(
     if binned is None:
         binned = bin_mesh(mesh, grid, config)
     dev = binned.device or {}
+
+    # BLOB FAST PATH: when the binning shipped one un-unpacked blob and the
+    # call is the fused non-differentiable host-sign form, run the whole
+    # pipeline as ONE dispatch that unpacks in-program (upload stays a bare
+    # device_put; a separate unpack dispatch costs another ~25 ms tunnel
+    # round trip).
+    blob_ok = ("__blob__" in dev and verts is None
+               and config.sign_mode == "host"
+               and config.far_field == "exact")
+    if blob_ok and use_dense(config, int(binned.tris.shape[0])):
+        phi, tid = _dense_sign_blob_core(
+            dev["__blob__"], meta=dev["__meta__"], grid_shape=grid.shape,
+            interpret=not is_tpu_platform())
+        return (phi, tid) if return_tid else phi
+    if (blob_ok and binned.band_csr is not None and is_tpu_platform()
+            and config.vdt_max_hop is None
+            and config.vdt_extra_rounds is None
+            and binned.band is not None
+            and binned.band.tile_shape == (8, 8, 8)):
+        phi, tid = _exact_blob_core(
+            dev["__blob__"], meta=dev["__meta__"], grid_shape=grid.shape,
+            tile_shape=binned.band.tile_shape,
+            tiles_dim=binned.band.tiles_dim,
+            chamfer_passes=config.chamfer_passes,
+            band_chunk=config.band_chunk,
+            seed_band=min(max(config.exact_band, 3), binned.seed_band),
+            band_kcap=binned.band_csr["kcap"])
+        return (phi, tid) if return_tid else phi
+
+    # every other path consumes individual arrays: materialize them from
+    # the blob once (cached in the same dict)
+    from .upload import unpack_device_dict
+
+    dev = unpack_device_dict(dev)
     v = (dev.get("verts") if verts is None and "verts" in dev
          else jnp.asarray(mesh.verts if verts is None else verts))
     tris = dev.get("tris")
@@ -843,8 +935,12 @@ def make_level_set3(
         sign_args["sign_cand"],
         sign_args["sign_valid"],
         sign_args["parity_packed"],
-        jnp.asarray(grid.origin, jnp.float32),
-        jnp.float32(grid.dx),
+        # origin/dx prefer the blob-resident copies: fresh per-call
+        # conversions each cost a fixed ~27 ms tunnel transfer
+        (dev["origin"] if "origin" in dev and config.far_field == "exact"
+         else jnp.asarray(grid.origin, jnp.float32)),
+        (dev["dxv"] if "dxv" in dev and config.far_field == "exact"
+         else jnp.float32(grid.dx)),
         grid_shape=grid.shape,
         tile_shape=band_args["tile_shape"],
         tiles_dim=band_args["tiles_dim"],
