@@ -154,19 +154,30 @@ def generate_sdf_batch(
     exact_band: int = 1,
     backend: str = "auto",
     far_field: str = "exact",
+    device_mesh=None,
 ):
     """Generate SDFs for a BATCH of meshes on one shared grid.
 
     `meshes` is a sequence of (vertices, triangles) pairs (the reference has
     no batch API; this serves BASELINE config 5's "batch of 100k-triangle
-    meshes"). Returns a list of (nx, ny, nz) float32 arrays.
+    meshes at 512-class grids across hosts"). Returns a list of
+    (nx, ny, nz) float32 arrays.
+
+    `device_mesh`: a ``jax.sharding.Mesh`` from
+    ``parallel.make_device_mesh`` (single process) or
+    ``parallel.multihost.global_device_mesh`` (multi-process). When given,
+    each SDF runs the SHARDED pipeline over the mesh — the grid is tiled
+    over the devices and each shard runs the same Pallas band + pyramid
+    far-field kernels as a single-chip run; in multi-process mode the
+    assembled grids are gathered to every process.
 
     Device-efficiency design: one compiled program is REUSED across the
     whole batch — host-side binning pads candidate shapes to coarse buckets
     (pipeline._bucket), so meshes of similar size hit the jit cache instead
     of recompiling, and the persistent compilation cache covers the rest.
     Each mesh's host binning (NumPy/C++) runs while the previous mesh's
-    device program executes, overlapping the two pipelines.
+    device program executes, overlapping the two pipelines (one-deep:
+    bin mesh k+1 while mesh k computes, then collect mesh k).
     """
     import jax
 
@@ -191,6 +202,9 @@ def generate_sdf_batch(
             )
         validated.append(Mesh(v, t))
 
+    if device_mesh is not None:
+        return _sharded_batch(validated, grid, config, device_mesh)
+
     out = []
     with jax.default_device(dev):
         pending = None  # device array still computing while we bin the next
@@ -201,6 +215,46 @@ def generate_sdf_batch(
             pending = make_level_set3(mesh, grid, config, binned=binned)
         if pending is not None:
             out.append(np.asarray(pending))
+    return out
+
+
+def _sharded_batch(validated, grid: GridSpec, config: SDFConfig,
+                   device_mesh):
+    """Batch x sharded x (optionally) multihost composition: each mesh's
+    host binning overlaps the previous mesh's sharded device compute
+    (dispatch is asynchronous until the result is fetched), and every
+    process collects identical assembled grids."""
+    import jax
+
+    from .parallel.sharded import bin_mesh_sharded, sharded_sdf
+    from .parallel.multihost import (
+        assemble_blocks, fetch_global, sharded_sdf_multihost,
+    )
+
+    dims = tuple(device_mesh.devices.shape)
+    multi = jax.process_count() > 1
+
+    def launch(mesh):
+        sb = bin_mesh_sharded(mesh, grid, dims, config)
+        if multi:
+            return sharded_sdf_multihost(sb, device_mesh, mesh.verts)
+        return sharded_sdf(sb, device_mesh, verts=mesh.verts,
+                           assemble=False)
+
+    def collect(blocks):
+        return assemble_blocks(fetch_global(blocks))
+
+    out = []
+    pending = None
+    for mesh in validated:
+        if pending is not None:
+            launched = launch(mesh)  # bin k+1 while k computes
+            out.append(collect(pending))
+            pending = launched
+        else:
+            pending = launch(mesh)
+    if pending is not None:
+        out.append(collect(pending))
     return out
 
 

@@ -177,19 +177,34 @@ def _axis_min_neighbors(phi):
     return mins
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
-def eikonal_far_field(phi, frozen, dx, num_iters: int):
+def eikonal_far_field_impl(phi, frozen, dx, num_iters: int,
+                           extend_fn=None):
     """Jacobi relaxation of |grad phi| = 1 outside the frozen narrow band.
 
     Mirrors fast_sweep_eikonal_kernel (gpu_lib/makelevelset3_gpu.cu:487-551):
     sort the axiswise min neighbors a<=b<=c and apply the closed-form 1D/2D/3D
     updates; `num_iters` plays the role of the 2*max(n) iteration loop
     (makelevelset3_gpu.cu:690).
+
+    `extend_fn(p, axis)` (sharded blocks): returns `p` extended by ONE cell
+    on each side of `axis` (1=j, 2=k) with true neighbor-shard values (+inf
+    at global edges). The Jacobi update then reads exactly what the
+    single-device stencil reads, so shard runs match bit-for-bit; the
+    (unsharded) i axis keeps the local inf-padded stencil.
     """
     dx = jnp.float32(dx)
 
     def body(_, p):
-        m = _axis_min_neighbors(p)
+        if extend_fn is not None:
+            # unused axes of _axis_min_neighbors are dead-code-eliminated
+            mi = _axis_min_neighbors(p)[0]
+            ej = extend_fn(p, 1)
+            ek = extend_fn(p, 2)
+            mj = jnp.minimum(ej[:, :-2, :], ej[:, 2:, :])
+            mk = jnp.minimum(ek[:, :, :-2], ek[:, :, 2:])
+            m = (mi, mj, mk)
+        else:
+            m = _axis_min_neighbors(p)
         abc = jnp.sort(jnp.stack(m, axis=-1), axis=-1)
         a, b, c = abc[..., 0], abc[..., 1], abc[..., 2]
         # 1D update
@@ -207,3 +222,9 @@ def eikonal_far_field(phi, frozen, dx, num_iters: int):
         return jnp.where(frozen, p, new)
 
     return jax.lax.fori_loop(0, num_iters, body, phi)
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def eikonal_far_field(phi, frozen, dx, num_iters: int):
+    """Jitted single-device wrapper over `eikonal_far_field_impl`."""
+    return eikonal_far_field_impl(phi, frozen, dx, num_iters)

@@ -108,8 +108,9 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
     from .sharded import _validate_pyramid_blocks
 
     cfg = binned.config
-    if cfg.far_field != "exact":
-        raise NotImplementedError("sharded pipeline supports far_field='exact'")
+    if cfg.far_field not in ("exact", "eikonal"):
+        raise NotImplementedError(
+            "sharded pipeline supports far_field='exact' and 'eikonal'")
     v = jnp.asarray(verts)
     tri_verts = v[jnp.asarray(binned.tris)]
 
@@ -122,12 +123,17 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
     ni, nj_l, nk_l = binned.block
     Dj, Dk = binned.dims
     gdims = (ni, nj_l * Dj, nk_l * Dk)
-    pyramid = (not dense and cfg.vdt_max_hop is None
+    eikonal = cfg.far_field == "eikonal"
+    eik_iters = 0
+    if eikonal:
+        eik_iters = (cfg.eikonal_iters if cfg.eikonal_iters is not None
+                     else 2 * max(gdims))
+    pyramid = (not dense and not eikonal and cfg.vdt_max_hop is None
                and cfg.vdt_extra_rounds is None)
     strides = ()
     if pyramid:
         _validate_pyramid_blocks(gdims, binned.block, binned.dims)
-    elif not dense:
+    elif not dense and not eikonal:
         cap = cfg.vdt_max_hop
         if cap is None or cap > min(nj_l, nk_l):
             raise ValueError(
@@ -182,6 +188,7 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
         kcap=binned.kcap if use_pallas else 0,
         gdims=gdims,
         band_tiles_global=binned.band_tiles_global,
+        eikonal_iters=eik_iters,
     )
 
 

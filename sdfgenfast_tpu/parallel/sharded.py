@@ -275,10 +275,11 @@ def bin_mesh_sharded(
         b_valid = np.zeros((Dj, Dk, 0, 1), bool)
         b_gids = np.zeros((Dj, Dk, 0), np.int32)
     else:
-        # same >=3-cell seed band and exact-overlap prune as the
-        # single-device exact path (pipeline.bin_mesh) so sharded and
-        # single-device results match exactly
-        seed_band = max(config.exact_band, 3)
+        # same seed band and prune policy as the single-device binning
+        # (pipeline.bin_mesh): exact mode widens the band to >= 3 cells and
+        # prunes; eikonal keeps the user band and the full L-inf window
+        seed_band = (max(config.exact_band, 3)
+                     if config.far_field == "exact" else config.exact_band)
         bb = band_ops.bin_triangles(
             mesh.verts, mesh.tris, grid, seed_band, config.tile_shape,
             prune=config.far_field == "exact",
@@ -519,7 +520,7 @@ def _sharded_pyramid(cpx, cpy, cpz, tid0, phi0, dx, freeze_mask,
 def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
                 strides, chamfer_passes, seed_band, skip_recompute,
                 pyramid=False, use_pallas=False, kcap=0, gdims=None,
-                band_tiles_global=None):
+                band_tiles_global=None, eikonal_iters=0):
     ni, nj_l, nk_l = block
 
     def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed,
@@ -542,6 +543,38 @@ def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
         ijk_off = jnp.stack([jnp.int32(0), j_off, k_off])
 
         tv_ng = jax.lax.stop_gradient(tri_verts)
+
+        if eikonal_iters > 0:
+            # Eikonal mode (the CUDA backend's semantics,
+            # gpu_lib/makelevelset3_gpu.cu:487-551), sharded: the SAME
+            # band evaluator as single-device (band_distance_field with
+            # global cell coordinates), then the Jacobi |grad phi|=1
+            # relaxation with one-cell cross-shard halos per iteration —
+            # the 6-point stencil needs no corners, so each axis extends
+            # independently. Matches the single-device mode bit-for-bit.
+            from ..ops import sweep as sweep_ops
+
+            phi0, tid0 = band_ops.band_distance_field(
+                tv_ng, b_ids, b_cand, b_valid, origin, dx,
+                tile_shape=tile_shape, tiles_dim=band_tiles_local,
+                grid_shape=(ni, nj_l, nk_l), chunk=band_chunk,
+                ijk_offset=ijk_off, upper_override=up,
+            )
+            frozen = tid0 >= 0
+            inf = jnp.float32(jnp.inf)
+
+            def ext_fn(p, axis):
+                return _extend(p, "j" if axis == 1 else "k", axis, inf)
+
+            phi = sweep_ops.eikonal_far_field_impl(
+                phi0, frozen, dx, eikonal_iters, extend_fn=ext_fn)
+            parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
+            # mirror the single-device mode: the frozen band is recomputed
+            # differentiably, the far field keeps the Eikonal estimates
+            band_phi = _recompute_phi(tri_verts, tid0, parity, origin, dx,
+                                      up, ijk_offset=ijk_off)
+            far_phi = jnp.where(parity, -phi, phi)
+            return jnp.where(frozen, band_phi, far_phi)[None, None]
 
         if use_pallas and kcap > 0:
             # fused Pallas CSR band kernel — the SAME kernel the single-chip
@@ -672,7 +705,7 @@ def _make_inner_dense(block, skip_recompute, interpret):
         "mesh_obj", "block", "band_tiles_local", "tile_shape",
         "band_chunk", "strides", "chamfer_passes", "seed_band", "dense",
         "skip_recompute", "pyramid", "use_pallas", "kcap", "gdims",
-        "band_tiles_global",
+        "band_tiles_global", "eikonal_iters",
     ),
 )
 def _sharded_core(
@@ -683,7 +716,7 @@ def _sharded_core(
     *, mesh_obj, block, band_tiles_local, tile_shape, band_chunk,
     strides, chamfer_passes, seed_band=3, dense=False, skip_recompute=False,
     pyramid=False, use_pallas=False, kcap=0, gdims=None,
-    band_tiles_global=None,
+    band_tiles_global=None, eikonal_iters=0,
 ):
     """Returns phi blocks (Dj, Dk, ni, nj_l, nk_l), grid-sharded over the mesh."""
     if dense:
@@ -697,7 +730,8 @@ def _sharded_core(
                               band_chunk, strides, chamfer_passes, seed_band,
                               skip_recompute, pyramid=pyramid,
                               use_pallas=use_pallas, kcap=kcap, gdims=gdims,
-                              band_tiles_global=band_tiles_global)
+                              band_tiles_global=band_tiles_global,
+                              eikonal_iters=eikonal_iters)
     blk2 = P("j", "k", None)
     blk3 = P("j", "k", None, None)
     blk4 = P("j", "k", None, None, None)
@@ -728,18 +762,25 @@ def sharded_sdf(
     (Dj, Dk, ni, nj_l, nk_l) block array (still device-sharded).
     """
     cfg = binned.config
-    if cfg.far_field != "exact":
-        raise NotImplementedError("sharded pipeline currently supports far_field='exact'")
+    if cfg.far_field not in ("exact", "eikonal"):
+        raise NotImplementedError(
+            "sharded pipeline supports far_field='exact' and 'eikonal' "
+            "('propagate' is a single-device legacy mode)")
     dense = use_dense(cfg, len(binned.tris))
     ni, nj_l, nk_l = binned.block
     Dj, Dk = binned.dims
     gdims = (ni, nj_l * Dj, nk_l * Dk)
-    pyramid = (not dense and cfg.vdt_max_hop is None
+    eikonal = cfg.far_field == "eikonal"
+    eik_iters = 0
+    if eikonal:
+        eik_iters = (cfg.eikonal_iters if cfg.eikonal_iters is not None
+                     else 2 * max(gdims))
+    pyramid = (not dense and not eikonal and cfg.vdt_max_hop is None
                and cfg.vdt_extra_rounds is None)
     strides = ()
     if pyramid:
         _validate_pyramid_blocks(gdims, binned.block, binned.dims)
-    elif not dense:
+    elif not dense and not eikonal:
         cap = cfg.vdt_max_hop
         if cap is None or cap > min(nj_l, nk_l):
             raise ValueError(
@@ -790,6 +831,7 @@ def sharded_sdf(
         kcap=binned.kcap if use_pallas else 0,
         gdims=gdims,
         band_tiles_global=binned.band_tiles_global,
+        eikonal_iters=eik_iters,
     )
     if not assemble:
         return out

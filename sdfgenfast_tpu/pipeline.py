@@ -48,13 +48,12 @@ class SDFConfig:
     """Pipeline configuration (the reference's build+runtime knobs rolled
     into one dataclass, per SURVEY §5 "config/flag system").
 
-    SHARDED-MODE RESTRICTIONS (parallel/sharded.sharded_sdf): only
-    ``far_field="exact"`` is supported (raises NotImplementedError
-    otherwise), the sign is always the host parity transport, and
-    ``vdt_max_hop`` is clamped to the shard block (one halo slab per jump-
-    flood round keeps shard runs bit-identical to a single-device run of
-    the same capped ladder). ``far_field="propagate"``/``"eikonal"`` and
-    ``sign_mode="device"`` are single-device-only modes.
+    SHARDED-MODE RESTRICTIONS (parallel/sharded.sharded_sdf):
+    ``far_field="exact"`` (the default pyramid schedule, or the capped
+    ladder when ``vdt_max_hop`` is set) and ``far_field="eikonal"`` are
+    supported; the sign is always the host parity transport.
+    ``far_field="propagate"`` (a legacy mode) and ``sign_mode="device"``
+    are single-device-only.
     """
 
     exact_band: int = 1

@@ -174,6 +174,33 @@ class TestShardedPyramid:
         assert float(np.median(diff)) < 1e-4 * scale
 
 
+class TestShardedEikonal:
+    def test_matches_single_device(self):
+        # the CUDA-backend-semantics mode, sharded: same band evaluator,
+        # Jacobi |grad phi|=1 relaxation with 1-cell halos per iteration
+        dmesh = _mesh_or_skip()
+        m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
+        g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
+        cfg = SDFConfig(far_field="eikonal", tile2d_shape=(8, 8),
+                        dense_max_tris=0)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
+
+    def test_1d_mesh(self):
+        dmesh = _mesh_or_skip(shape=(1, 8))
+        m = icosphere(1, radius=1.0)
+        g = GridSpec((-1.3, -1.3, -1.3), 2.6 / 32, (16, 16, 32))
+        cfg = SDFConfig(far_field="eikonal", tile_shape=(8, 8, 4),
+                        tile2d_shape=(8, 4), dense_max_tris=0,
+                        eikonal_iters=40)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
+
+
 class TestShardedGradients:
     @pytest.mark.parametrize("dense_cap", [1024, 0])
     def test_gradient_matches_single_device(self, dense_cap):
