@@ -175,6 +175,33 @@ def example_8_batch_generation():
         print(f"  mesh {i}: inside fraction {float((sdf < 0).mean()):.3f}")
 
 
+def example_9_sharded_multi_device():
+    """Multi-device (sharded) generation: the voxel grid tiles over a
+    (j, k) jax.sharding.Mesh and every shard runs the same kernels as a
+    single-chip run (Pallas band + pyramid far field on TPU). On one
+    device this degenerates gracefully; on a CPU test host set
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 to see real
+    sharding. Batches compose with the mesh via
+    generate_sdf_batch(..., device_mesh=dmesh)."""
+    banner("Example 9: Sharded multi-device generation")
+
+    import numpy as np
+    from sdfgenfast_tpu import GridSpec, SDFConfig
+    from sdfgenfast_tpu.mesh import icosphere
+    from sdfgenfast_tpu.parallel import (
+        bin_mesh_sharded, make_device_mesh, sharded_sdf,
+    )
+
+    dmesh = make_device_mesh()
+    print(f"  device mesh: {dmesh.devices.shape} ({dmesh.devices.size} devices)")
+    m = icosphere(3, radius=1.0)
+    g = GridSpec((-1.25, -1.25, -1.25), 2.5 / 64, (64, 64, 64))
+    sb = bin_mesh_sharded(m, g, dmesh.devices.shape, SDFConfig())
+    phi = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+    print(f"  sharded SDF {phi.shape}: inside fraction "
+          f"{float((phi < 0).mean()):.3f}")
+
+
 EXAMPLES = {
     1: example_1_load_and_generate,
     2: example_2_high_level_api,
@@ -184,6 +211,7 @@ EXAMPLES = {
     6: example_6_different_resolutions,
     7: example_7_differentiable_sdf,
     8: example_8_batch_generation,
+    9: example_9_sharded_multi_device,
 }
 
 

@@ -71,7 +71,7 @@ class SDFConfig:
     # per-column crossing positions ((C, nj, nk) int16) and reconstructs
     # parity on device as XOR of compares; "auto" (default) picks whichever
     # is smaller (crossings wins whenever max crossings/column < ni/16 —
-    # every benchmark mesh; the host link here costs ~16 ms/MB)
+    # every benchmark mesh; the host link costs ~50 ms/MB, round-5 measure)
     parity_transport: str = "auto"
     tile_shape: Tuple[int, int, int] = band_ops.DEFAULT_TILE
     tile2d_shape: Tuple[int, int] = sign_ops.DEFAULT_TILE_2D
@@ -126,10 +126,11 @@ class Binned:
     # threshold (cells whose band value is treated as provably exact) must
     # never exceed it — a wider freeze would pin non-minimal upper bounds
     seed_band: int = 3
-    # device-resident copies of everything make_level_set3 ships to the
-    # chip, uploaded as ONE blob at bin time (upload.py): the tunnel costs
-    # ~22 ms fixed per transfer, so 8 separate uploads cost more than all
-    # kernels combined
+    # device-resident payload of everything make_level_set3 ships to the
+    # chip, uploaded as ONE blob at bin time (upload.py) and unpacked
+    # INSIDE the consuming jit ({"__blob__", "__meta__"}): the tunnel
+    # costs ~27 ms fixed per transfer and ~25 ms per dispatch, so separate
+    # uploads/dispatches cost more than all kernels combined
     device: Optional[dict] = None
 
 

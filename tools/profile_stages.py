@@ -37,6 +37,20 @@ def force_honest_timing():
     np.asarray(y)
 
 
+def probe_rtt():
+    """Min of 3 tiny round trips — detects the tunnel's DEGRADED phases
+    (25 ms healthy vs ~370 ms), which round 4 published a corrupted
+    stage_breakdown under (bin_host_ms = 225 s for a ~0.1 s pass)."""
+    f = jax.jit(lambda v: v + 1.0)
+    x = jnp.ones((8, 128), jnp.float32)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 from sdfgenfast_tpu.grid import sizing_mode2a_proportional
 from sdfgenfast_tpu.mesh import box_mesh, icosphere
 from sdfgenfast_tpu.ops import tiled as tiled_ops
@@ -74,8 +88,10 @@ def profile_dense(mesh, grid, cfg):
     origin = jnp.asarray(grid.origin, jnp.float32)
     dx = jnp.float32(grid.dx)
 
-    parity = timed("unpack_parity", _unpack_parity_stage,
-                   jnp.asarray(binned.parity_packed), grid.shape[0])
+    pdata = (binned.parity_packed if binned.parity_packed is not None
+             else binned.parity_crossings)  # "auto" may ship crossings
+    parity = timed("parity reconstruct", _unpack_parity_stage,
+                   jnp.asarray(pdata), grid.shape[0])
     phi, tid = timed("dense kernel", dense_distance_field,
                      tri_verts, origin, dx, grid_shape=grid.shape)
     timed("sign apply", _sign_apply_stage, phi, parity)
@@ -122,10 +138,14 @@ def profile(nx, mesh_name="box", force_tiled=False):
     if use_dense(cfg, mesh.num_tris):
         return profile_dense(mesh, grid, cfg)
 
-    t0 = time.perf_counter()
-    binned = bin_mesh(mesh, grid, cfg)
-    t_bin = time.perf_counter() - t0
-    print(f"  {'bin_mesh (host)':28s} {t_bin*1e3:9.2f} ms "
+    # min of 3: a single sample under host contention or a degraded tunnel
+    # phase published a 2000x-wrong bin_host_ms in round 4
+    t_bin = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        binned = bin_mesh(mesh, grid, cfg)
+        t_bin = min(t_bin, time.perf_counter() - t0)
+    print(f"  {'bin_mesh (host, min of 3)':28s} {t_bin*1e3:9.2f} ms "
           f"(A={binned.band.num_active}, K={binned.band.max_candidates}, "
           f"P={len(binned.band_csr['pair'])})", flush=True)
 
@@ -191,6 +211,20 @@ def profile(nx, mesh_name="box", force_tiled=False):
     e2e = run_e2e(mesh, grid, cfg, binned)
     stages["e2e_warm_ms"] = e2e
     if "publish" in sys.argv:
+        # SANITY GUARD before anything lands in the artifact of record:
+        # (1) the tunnel must be in a healthy phase (a degraded-phase
+        # number is 2-15x inflated); (2) the stage times must be mutually
+        # consistent — the host bin cannot plausibly exceed 20x the warm
+        # end-to-end device wall for these workloads (the round-4 corrupt
+        # row had bin_host_ms 225342 vs e2e ~200).
+        rtt = probe_rtt()
+        plausible = stages["bin_host_ms"] <= 20.0 * stages["e2e_warm_ms"]
+        if rtt > 0.08 or not plausible:
+            print(f"  REFUSING to publish stage_breakdown[{mesh_name}_{nx}]:"
+                  f" rtt={rtt*1e3:.0f} ms, bin/e2e="
+                  f"{stages['bin_host_ms']/max(stages['e2e_warm_ms'],1):.1f}"
+                  " (degraded tunnel or contended host — rerun)")
+            return
         import json
         path = os.path.join(REPO, "BASELINE.json")
         with open(path) as f:
