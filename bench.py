@@ -49,6 +49,9 @@ def log(*a):
 _RTT_HEALTHY_S = 0.08  # healthy tunnel sync RTT ~25 ms; degraded ~370 ms
 
 
+_PROBE_FN = None
+
+
 def probe_rtt():
     """Min of 3 tiny synchronous round trips — the tunnel phase detector.
 
@@ -58,7 +61,12 @@ def probe_rtt():
     import jax
     import jax.numpy as jnp
 
-    f = jax.jit(lambda v: v + 1.0)
+    global _PROBE_FN
+    if _PROBE_FN is None:
+        # module-level cache: a fresh lambda per probe would recompile the
+        # trivial program (~0.4 s) on every probe
+        _PROBE_FN = jax.jit(lambda v: v + 1.0)
+    f = _PROBE_FN
     x = jnp.ones((8, 128), jnp.float32)
     best = float("inf")
     for _ in range(3):

@@ -84,9 +84,31 @@ def _atof(s: str) -> float:
     return float(m.group(0)) if m else 0.0
 
 
+def _setup_warm_start():
+    """Point jax's persistent compile cache (and with it the aot.py
+    warm-start artifacts) at a user cache dir, so repeat CLI runs skip
+    both XLA compilation and Python re-tracing — the reference binary is
+    0 s to first result; this is how a jit runtime gets close. Honors an
+    existing jax config/env setting; disable with JAX_COMPILATION_CACHE_DIR=""."""
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None \
+                and "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+            base = os.environ.get(
+                "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache"))
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(base, "sdfgenfast_tpu", "jax_cache"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never fail the CLI over it
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv if argv is None else argv)
     argc = len(argv)
+    _setup_warm_start()
 
     mode_precise = False
     filename = argv[1] if argc >= 2 else ""

@@ -187,6 +187,15 @@ def sizing_python_api(
     min_box = np.asarray(min_box, dtype=np.float32)
     max_box = np.asarray(max_box, dtype=np.float32)
     extents = max_box - min_box
+    # validate up front: the reference defers to generate_sdf's dimension
+    # check (python/sdfgen.py:210-241 divides by nx unguarded, relying on
+    # numpy inf propagation); a plain-int nx=0 here would be a raw
+    # ZeroDivisionError instead of the API's ValueError contract
+    for name, v in (("nx", nx), ("ny", ny), ("nz", nz)):
+        if v is not None and v <= 0:
+            raise ValueError(f"Grid dimension {name} must be positive, got {v}")
+    if dx is not None and dx <= 0:
+        raise ValueError(f"dx must be positive, got {dx}")
     if dx is not None:
         if nx is None:
             nx = int(math.ceil(extents[0] / dx))

@@ -275,7 +275,10 @@ def parity_field(
         B = min(chunk, A)
         A_pad = _round_up(A, B)
         pad = A_pad - A
-        ids_p = jnp.pad(active_ids, (0, pad))
+        # pad with the out-of-range drop sentinel: id-0 padding would make
+        # the final scatter write a duplicate (all-false) row onto tile 0,
+        # and XLA's duplicate-index set order is implementation-defined
+        ids_p = jnp.pad(active_ids, (0, pad), constant_values=T)
         cand_p = jnp.pad(cand, ((0, pad), (0, 0)))
         valid_p = jnp.pad(cand_valid, ((0, pad), (0, 0)))
         par_rows = jax.lax.map(

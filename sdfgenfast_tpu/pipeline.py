@@ -832,23 +832,33 @@ def make_level_set3(
                and config.sign_mode == "host"
                and config.far_field == "exact")
     if blob_ok and use_dense(config, int(binned.tris.shape[0])):
-        phi, tid = _dense_sign_blob_core(
-            dev["__blob__"], meta=dev["__meta__"], grid_shape=grid.shape,
-            interpret=not is_tpu_platform())
+        statics = dict(meta=dev["__meta__"], grid_shape=grid.shape,
+                       interpret=not is_tpu_platform())
+        if is_tpu_platform():
+            # AOT warm start (aot.py): skip the multi-second re-trace in
+            # fresh processes; falls back to the plain jit call
+            from .aot import call_aot
+            phi, tid = call_aot(_dense_sign_blob_core, "_dense_sign_blob_core",
+                                statics, dev["__blob__"])
+        else:
+            phi, tid = _dense_sign_blob_core(dev["__blob__"], **statics)
         return (phi, tid) if return_tid else phi
     if (blob_ok and binned.band_csr is not None and is_tpu_platform()
             and config.vdt_max_hop is None
             and config.vdt_extra_rounds is None
             and binned.band is not None
             and binned.band.tile_shape == (8, 8, 8)):
-        phi, tid = _exact_blob_core(
-            dev["__blob__"], meta=dev["__meta__"], grid_shape=grid.shape,
-            tile_shape=binned.band.tile_shape,
-            tiles_dim=binned.band.tiles_dim,
-            chamfer_passes=config.chamfer_passes,
-            band_chunk=config.band_chunk,
-            seed_band=min(max(config.exact_band, 3), binned.seed_band),
-            band_kcap=binned.band_csr["kcap"])
+        from .aot import call_aot
+        phi, tid = call_aot(
+            _exact_blob_core, "_exact_blob_core",
+            dict(meta=dev["__meta__"], grid_shape=grid.shape,
+                 tile_shape=binned.band.tile_shape,
+                 tiles_dim=binned.band.tiles_dim,
+                 chamfer_passes=config.chamfer_passes,
+                 band_chunk=config.band_chunk,
+                 seed_band=min(max(config.exact_band, 3), binned.seed_band),
+                 band_kcap=binned.band_csr["kcap"]),
+            dev["__blob__"])
         return (phi, tid) if return_tid else phi
 
     # every other path consumes individual arrays: materialize them from
