@@ -51,6 +51,29 @@ def _shift_plane(x, dj, dk, fill):
 _SHIFTS = [(dj, dk) for dj in (-1, 0, 1) for dk in (-1, 0, 1)]
 
 
+def plane_update(cand_tid, cur_phi, cur_tid, tri_verts, gx):
+    """One plane relaxation given the 9 candidate-tid planes (stacked in
+    _SHIFTS order): re-evaluate exact point-triangle distances at the plane
+    positions `gx` ((..., 3), broadcastable over the leading 9-axis) and
+    adopt strict improvements (check_neighbour, makelevelset3.cpp:90-97).
+
+    Shared by the single-device scan and the sharded scan
+    (parallel/sharded._sharded_propagate) so their arithmetic — including
+    the argmin tie order — is identical."""
+    valid = cand_tid >= 0
+    tv = tri_verts[jnp.maximum(cand_tid, 0)]  # (9, ..., 3verts, 3)
+    d2 = point_triangle_distance_sq(gx, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :])
+    d2 = jnp.where(valid, d2, jnp.float32(jnp.inf))
+    amin = jnp.argmin(d2, axis=0)
+    dmin2 = jnp.take_along_axis(d2, amin[None], axis=0)[0]
+    best_tid = jnp.take_along_axis(cand_tid, amin[None], axis=0)[0]
+    d = jnp.sqrt(dmin2)
+    better = d < cur_phi  # strict, like check_neighbour (:97)
+    new_phi = jnp.where(better, d, cur_phi)
+    new_tid = jnp.where(better, best_tid, cur_tid)
+    return new_phi, new_tid
+
+
 def _sweep_axis(phi, tid, tri_verts, pos_axes, axis, reverse):
     """One directional plane-scan along `axis`. phi/tid are (ni, nj, nk)."""
     phi_t = jnp.moveaxis(phi, axis, 0)
@@ -73,8 +96,6 @@ def _sweep_axis(phi, tid, tri_verts, pos_axes, axis, reverse):
         cand_tid = jnp.stack(
             [_shift_plane(prev_tid, dj, dk, jnp.int32(-1)) for dj, dk in _SHIFTS]
         )  # (9, B, C)
-        valid = cand_tid >= 0
-        tv = tri_verts[jnp.maximum(cand_tid, 0)]  # (9, B, C, 3, 3)
 
         coords = [None, None, None]
         coords[axis] = jnp.broadcast_to(a_coord, (B, Cn))
@@ -82,15 +103,8 @@ def _sweep_axis(phi, tid, tri_verts, pos_axes, axis, reverse):
         coords[other[1]] = pc
         gx = jnp.stack(coords, axis=-1)[None]  # (1, B, C, 3)
 
-        d2 = point_triangle_distance_sq(gx, tv[..., 0, :], tv[..., 1, :], tv[..., 2, :])
-        d2 = jnp.where(valid, d2, jnp.float32(jnp.inf))
-        amin = jnp.argmin(d2, axis=0)  # (B, C)
-        dmin2 = jnp.take_along_axis(d2, amin[None], axis=0)[0]
-        best_tid = jnp.take_along_axis(cand_tid, amin[None], axis=0)[0]
-        d = jnp.sqrt(dmin2)
-        better = d < cur_phi  # strict, like check_neighbour (:97)
-        new_phi = jnp.where(better, d, cur_phi)
-        new_tid = jnp.where(better, best_tid, cur_tid)
+        new_phi, new_tid = plane_update(cand_tid, cur_phi, cur_tid,
+                                        tri_verts, gx)
         return (new_phi, new_tid), (new_phi, new_tid)
 
     if reverse:

@@ -124,16 +124,19 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
     Dj, Dk = binned.dims
     gdims = (ni, nj_l * Dj, nk_l * Dk)
     eikonal = cfg.far_field == "eikonal"
+    propagate = cfg.far_field == "propagate" and not dense
+    prop_passes = cfg.max_passes if propagate else 0
     eik_iters = 0
     if eikonal:
         eik_iters = (cfg.eikonal_iters if cfg.eikonal_iters is not None
                      else 2 * max(gdims))
-    pyramid = (not dense and not eikonal and cfg.vdt_max_hop is None
+    pyramid = (not dense and not eikonal and not propagate
+               and cfg.vdt_max_hop is None
                and cfg.vdt_extra_rounds is None)
     strides = ()
     if pyramid:
         _validate_pyramid_blocks(gdims, binned.block, binned.dims)
-    elif not dense and not eikonal:
+    elif not dense and not eikonal and not propagate:
         cap = cfg.vdt_max_hop
         if cap is None or cap > min(nj_l, nk_l):
             raise ValueError(
@@ -171,11 +174,31 @@ def sharded_sdf_multihost(binned: ShardedBinned, mesh: Mesh, verts: np.ndarray):
     origin = make_global_array(
         np.asarray(binned.grid.origin, np.float32), mesh, rep
     )
+    sign_device = binned.sign_ids is not None
+    Dj, Dk = binned.dims
+    if sign_device:
+        s_ids = make_global_array(binned.sign_ids, mesh, blk2)
+        s_cand = make_global_array(binned.sign_cand, mesh, blk3)
+        s_valid = make_global_array(binned.sign_valid, mesh, blk3)
+        fh = make_global_array(binned.f_hi, mesh, rep)
+        fl = make_global_array(binned.f_lo, mesh, rep)
+    else:
+        s_ids = make_global_array(dummy2, mesh, blk2)
+        s_cand = make_global_array(
+            np.zeros((Dj, Dk, 0, 1), np.int32), mesh, blk3)
+        s_valid = make_global_array(
+            np.zeros((Dj, Dk, 0, 1), bool), mesh, blk3)
+        fh = make_global_array(np.zeros((0, 3, 3), np.float32), mesh, rep)
+        fl = make_global_array(np.zeros((0, 3, 3), np.float32), mesh, rep)
 
     return _sharded_core(
         tv, b_ids, b_cand, b_valid, packed,
         origin, jnp.float32(binned.grid.dx),
         c_pair, c_off, c_cnt, c_gids,
+        s_ids, s_cand, s_valid, fh, fl,
+        sign_device=sign_device, tile2d_shape=cfg.tile2d_shape,
+        sign_tiles_local=binned.sign_tiles_local, sign_chunk=cfg.sign_chunk,
+        propagate_passes=prop_passes,
         mesh_obj=mesh, block=binned.block,
         band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
         band_chunk=cfg.band_chunk, strides=strides,

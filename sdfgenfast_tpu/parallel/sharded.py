@@ -65,6 +65,7 @@ from ..mesh import Mesh as TriMesh
 from ..ops import band as band_ops
 from ..ops import vdt as vdt_ops
 from ..ops import dense as dense_ops
+from ..ops import sign as sign_ops
 from ..ops import sign_host as sign_host_ops
 from ..ops import tiled as tiled_ops
 from ..pipeline import SDFConfig, _recompute_phi, use_dense
@@ -203,6 +204,16 @@ class ShardedBinned:
     band_gids: Optional[np.ndarray] = None  # (Dj, Dk, A) int32
     band_tiles_global: Optional[Tuple[int, int, int]] = None
     kcap: int = 0
+    # sign_mode="device": per-shard 2D (j, k) sign-tile candidates for the
+    # on-device double-float SOS predicates (ops/sign.parity_field with a
+    # (j, k) offset); parity_packed is then empty. Local tile ids use the
+    # local-tile-count sentinel for pad rows (dropped by the scatter).
+    sign_ids: Optional[np.ndarray] = None    # (Dj, Dk, A2) int32
+    sign_cand: Optional[np.ndarray] = None   # (Dj, Dk, A2, K2) int32
+    sign_valid: Optional[np.ndarray] = None  # (Dj, Dk, A2, K2) bool
+    f_hi: Optional[np.ndarray] = None        # (M, 3, 3) f32, replicated
+    f_lo: Optional[np.ndarray] = None        # (M, 3, 3) f32, replicated
+    sign_tiles_local: Optional[Tuple[int, int]] = None
 
 
 def _partition_tiles(active_ids, cand, valid, tiles_dim, tiles_local, dims):
@@ -295,13 +306,40 @@ def bin_mesh_sharded(
                 and tuple(config.tile_shape) == (8, 8, 8)):
             csr = _shard_csr(b_cand, b_valid, len(mesh.tris))
 
-    # host parity, globally (native C++ kernel), then packed per shard block
-    packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
-    packed_blocks = (
-        packed.reshape(packed.shape[0], Dj, nj_l, Dk, nk_l)
-        .transpose(1, 3, 0, 2, 4)
-        .copy()
-    )  # (Dj, Dk, ceil(ni/8), nj_l, nk_l)
+    sign_kw = {}
+    if config.sign_mode == "device":
+        # on-device double-float SOS sign: partition the 2D (j, k) sign
+        # tiles by owner shard; each shard runs ops/sign.parity_field on
+        # its own rays with a global (j, k) offset — the i (ray) axis is
+        # unsharded, so no collectives are needed and per-cell parity is
+        # bit-identical to a single-device device-sign run
+        tj2, tk2 = config.tile2d_shape
+        if nj_l % tj2 or nk_l % tk2:
+            raise ValueError(
+                f"sign_mode='device' needs shard blocks divisible by "
+                f"tile2d_shape {config.tile2d_shape} "
+                f"(got nj_l={nj_l}, nk_l={nk_l})")
+        sb = sign_ops.bin_triangles_2d(
+            mesh.verts, mesh.tris, grid, config.tile2d_shape)
+        sign_tiles_local = (nj_l // tj2, nk_l // tk2)
+        s_ids, s_cand, s_valid, _ = _partition_tiles(
+            sb.active_ids.astype(np.int64), sb.cand, sb.cand_valid,
+            sb.tiles_dim, sign_tiles_local, dims,
+        )
+        packed_blocks = np.zeros((Dj, Dk, 0, nj_l, nk_l), np.uint8)
+        sign_kw = dict(sign_ids=s_ids, sign_cand=s_cand,
+                       sign_valid=s_valid, f_hi=sb.f_hi, f_lo=sb.f_lo,
+                       sign_tiles_local=sign_tiles_local)
+    elif config.sign_mode == "host":
+        # host parity, globally (native C++ kernel), packed per shard block
+        packed = sign_host_ops.parity_packed_host(mesh.verts, mesh.tris, grid)
+        packed_blocks = (
+            packed.reshape(packed.shape[0], Dj, nj_l, Dk, nk_l)
+            .transpose(1, 3, 0, 2, 4)
+            .copy()
+        )  # (Dj, Dk, ceil(ni/8), nj_l, nk_l)
+    else:
+        raise ValueError(f"unknown sign_mode: {config.sign_mode}")
 
     return ShardedBinned(
         grid, config, dims, (ni, nj_l, nk_l),
@@ -310,6 +348,7 @@ def bin_mesh_sharded(
         csr_pair=csr.get("pair"), csr_off=csr.get("off"),
         csr_cnt=csr.get("cnt"), band_gids=b_gids,
         band_tiles_global=tiles_global, kcap=csr.get("kcap", 0),
+        **sign_kw,
     )
 
 
@@ -374,6 +413,154 @@ def _extend(x, axis_name, axis, fill, depth: int = 1):
         jax.lax.slice_in_dim(x, 0, depth, axis=axis), axis_name, 1, fill
     )
     return jnp.concatenate([lo, x, hi], axis=axis)
+
+
+def _sharded_propagate(phi, tid, tri_verts, origin, dx, max_passes,
+                       j_off, k_off):
+    """Legacy ``far_field="propagate"`` under shard_map — bit-identical to
+    ops/sweep.propagate_closest_triangles (the reference CPU backend's
+    2x8 directional Gauss-Seidel sweeps re-expressed as plane scans,
+    cpu_lib/makelevelset3.cpp:243-292).
+
+    A directional plane scan is sequential along its axis, so a sweep
+    ALONG a sharded axis runs as D serialized rounds (one shard row per
+    round) forwarding the carry plane by ppermute; every shard executes
+    each round's scan (SPMD) and rows not on turn discard the result —
+    wall-clock matches the single-device scan while FLOPs multiply by D.
+    Sweeps along the unsharded i axis run locally, with corner-complete
+    one-cell (j, k) halos of the carried plane per step. The shared
+    plane_update kernel (ops/sweep.py) guarantees identical arithmetic,
+    including argmin tie order, so the per-pass fixed-point test — and
+    therefore the pass count — matches a single-device run exactly.
+    A compatibility mode, not a fast path."""
+    from ..ops import sweep as sweep_ops
+
+    ni, nj_l, nk_l = phi.shape
+    pos_i = jnp.arange(ni, dtype=jnp.float32) * dx + origin[0]
+    # global coordinates of this shard's rows: f32(int) conversion is exact,
+    # so these equal slices of the single-device jnp.arange(n, f32) tables
+    pos_j = (j_off + jnp.arange(nj_l, dtype=jnp.int32)).astype(jnp.float32) \
+        * dx + origin[1]
+    pos_k = (k_off + jnp.arange(nk_l, dtype=jnp.int32)).astype(jnp.float32) \
+        * dx + origin[2]
+    neg1 = jnp.int32(-1)
+
+    def shift_stack(ext, R, Cn):
+        # (9, R, Cn) candidate planes from a 1-cell-extended (R+2, Cn+2)
+        # plane, in sweep_ops._SHIFTS order (argmin tie order matters)
+        return jnp.stack([
+            ext[1 - dr:1 - dr + R, 1 - dc:1 - dc + Cn]
+            for dr, dc in sweep_ops._SHIFTS
+        ])
+
+    def sweep_i(phi, tid, reverse):
+        # planes are (nj_l, nk_l): both plane axes sharded -> collective
+        # corner-complete extension of the carried plane each step
+        pb = jnp.broadcast_to(pos_j[:, None], (nj_l, nk_l))
+        pc = jnp.broadcast_to(pos_k[None, :], (nj_l, nk_l))
+
+        def step(prev_tid, xs):
+            cur_phi, cur_tid, a_coord = xs
+            ext = _extend(_extend(prev_tid, "j", 0, neg1), "k", 1, neg1)
+            cand = shift_stack(ext, nj_l, nk_l)
+            gx = jnp.stack(
+                [jnp.broadcast_to(a_coord, (nj_l, nk_l)), pb, pc], -1)[None]
+            new_phi, new_tid = sweep_ops.plane_update(
+                cand, cur_phi, cur_tid, tri_verts, gx)
+            return new_tid, (new_phi, new_tid)
+
+        phi_seq = phi[::-1] if reverse else phi
+        tid_seq = tid[::-1] if reverse else tid
+        pos_seq = pos_i[::-1] if reverse else pos_i
+        _, (out_phi, out_tid) = jax.lax.scan(
+            step, tid_seq[0], (phi_seq[1:], tid_seq[1:], pos_seq[1:]))
+        out_phi = jnp.concatenate([phi_seq[:1], out_phi], axis=0)
+        out_tid = jnp.concatenate([tid_seq[:1], out_tid], axis=0)
+        if reverse:
+            out_phi, out_tid = out_phi[::-1], out_tid[::-1]
+        return out_phi, out_tid
+
+    def sweep_sharded(phi, tid, axis, reverse):
+        # sweep ALONG sharded axis 1 (j) or 2 (k): D serialized rounds
+        name = "j" if axis == 1 else "k"
+        D = jax.lax.axis_size(name)
+        my = jax.lax.axis_index(name)
+        pos_a = pos_j if axis == 1 else pos_k
+        # plane axes: (i, other-sharded-axis)
+        o_name = "k" if axis == 1 else "j"
+        Cn = nk_l if axis == 1 else nj_l
+        pb = jnp.broadcast_to(pos_i[:, None], (ni, Cn))
+        po = pos_k if axis == 1 else pos_j
+        pc = jnp.broadcast_to(po[None, :], (ni, Cn))
+
+        phi_t = jnp.moveaxis(phi, axis, 0)
+        tid_t = jnp.moveaxis(tid, axis, 0)
+        if reverse:
+            phi_t, tid_t, pos_seq = phi_t[::-1], tid_t[::-1], pos_a[::-1]
+        else:
+            pos_seq = pos_a
+
+        def step(prev_tid, xs):
+            cur_phi, cur_tid, a_coord = xs
+            ext = jnp.pad(prev_tid, ((1, 1), (0, 0)), constant_values=-1)
+            ext = _extend(ext, o_name, 1, neg1)
+            cand = shift_stack(ext, ni, Cn)
+            coords = [None, None, None]
+            coords[axis] = jnp.broadcast_to(a_coord, (ni, Cn))
+            coords[0] = pb
+            coords[2 if axis == 1 else 1] = pc
+            gx = jnp.stack(coords, -1)[None]
+            new_phi, new_tid = sweep_ops.plane_update(
+                cand, cur_phi, cur_tid, tri_verts, gx)
+            return new_tid, (new_phi, new_tid)
+
+        carry = tid_t[0]
+        for r in range(D):
+            active_row = (D - 1 - r) if reverse else r
+            if r > 0:
+                # the carry plane moves to the next shard row: receive from
+                # the previous round's active row
+                carry = _neighbor_shift(carry, name,
+                                        1 if reverse else -1, neg1)
+            if r == 0:
+                # the scan's first plane stays unchanged (it IS the carry)
+                carry_out, (s_phi, s_tid) = jax.lax.scan(
+                    step, carry,
+                    (phi_t[1:], tid_t[1:], pos_seq[1:]))
+                new_phi_t = jnp.concatenate([phi_t[:1], s_phi], axis=0)
+                new_tid_t = jnp.concatenate([tid_t[:1], s_tid], axis=0)
+            else:
+                carry_out, (new_phi_t, new_tid_t) = jax.lax.scan(
+                    step, carry, (phi_t, tid_t, pos_seq))
+            onturn = my == active_row
+            phi_t = jnp.where(onturn, new_phi_t, phi_t)
+            tid_t = jnp.where(onturn, new_tid_t, tid_t)
+            carry = carry_out
+        if reverse:
+            phi_t, tid_t = phi_t[::-1], tid_t[::-1]
+        return jnp.moveaxis(phi_t, 0, axis), jnp.moveaxis(tid_t, 0, axis)
+
+    def one_pass(state):
+        phi, tid, it, _ = state
+        phi0 = phi
+        for axis in (0, 1, 2):
+            for reverse in (False, True):
+                if axis == 0:
+                    phi, tid = sweep_i(phi, tid, reverse)
+                else:
+                    phi, tid = sweep_sharded(phi, tid, axis, reverse)
+        delta = jnp.any(phi != phi0)
+        changed = jax.lax.psum(
+            jax.lax.psum(delta.astype(jnp.int32), "j"), "k") > 0
+        return phi, tid, it + 1, changed
+
+    def cond(state):
+        _, _, it, changed = state
+        return changed & (it < max_passes)
+
+    state = (phi, tid, jnp.int32(0), jnp.bool_(True))
+    phi, tid, _, _ = jax.lax.while_loop(cond, one_pass, state)
+    return phi, tid
 
 
 def _sharded_chamfer(phi, dx, passes, use_pallas=False):
@@ -520,15 +707,19 @@ def _sharded_pyramid(cpx, cpy, cpz, tid0, phi0, dx, freeze_mask,
 def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
                 strides, chamfer_passes, seed_band, skip_recompute,
                 pyramid=False, use_pallas=False, kcap=0, gdims=None,
-                band_tiles_global=None, eikonal_iters=0):
+                band_tiles_global=None, eikonal_iters=0,
+                sign_device=False, tile2d_shape=None,
+                sign_tiles_local=None, sign_chunk=64,
+                propagate_passes=0):
     ni, nj_l, nk_l = block
 
     def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed,
-              pair, off, cnt, gids):
+              pair, off, cnt, gids, s_ids, s_cand, s_valid, f_hi, f_lo):
         # squeeze the (1, 1) device-block axes shard_map leaves on inputs
         b_ids, b_cand, b_valid = b_ids[0, 0], b_cand[0, 0], b_valid[0, 0]
         parity_packed = parity_packed[0, 0]
         pair, off, cnt, gids = pair[0, 0], off[0, 0], cnt[0, 0], gids[0, 0]
+        s_ids, s_cand, s_valid = s_ids[0, 0], s_cand[0, 0], s_valid[0, 0]
 
         dj = jax.lax.axis_index("j")
         dk = jax.lax.axis_index("k")
@@ -542,7 +733,37 @@ def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
         k_off = (dk * nk_l).astype(jnp.int32)
         ijk_off = jnp.stack([jnp.int32(0), j_off, k_off])
 
+        def local_parity():
+            """This shard's (ni, nj_l, nk_l) inside/outside parity: host
+            transport (bit-packed) or the on-device double-float SOS
+            predicates on the shard's own (j, k) rays — the ray (i) axis
+            is unsharded, so parity needs no collectives either way."""
+            if sign_device:
+                return sign_ops.parity_field(
+                    f_hi, f_lo, s_ids, s_cand, s_valid,
+                    tile_shape=tile2d_shape, tiles_dim=sign_tiles_local,
+                    grid_shape=(ni, nj_l, nk_l), chunk=sign_chunk,
+                    jk_offset=jnp.stack([j_off, k_off]))
+            return sign_host_ops.unpack_parity_device(parity_packed, ni)
+
         tv_ng = jax.lax.stop_gradient(tri_verts)
+
+        if propagate_passes > 0:
+            # legacy 'propagate' mode: same band evaluator as single-device,
+            # then the directional plane scans with serialized cross-shard
+            # rounds (_sharded_propagate) and the differentiable recompute
+            phi0, tid0 = band_ops.band_distance_field(
+                tv_ng, b_ids, b_cand, b_valid, origin, dx,
+                tile_shape=tile_shape, tiles_dim=band_tiles_local,
+                grid_shape=(ni, nj_l, nk_l), chunk=band_chunk,
+                ijk_offset=ijk_off, upper_override=up,
+            )
+            phi_p, tid_p = _sharded_propagate(
+                phi0, tid0, tv_ng, origin, dx, propagate_passes,
+                j_off, k_off)
+            out = _recompute_phi(tri_verts, tid_p, local_parity(), origin,
+                                 dx, up, ijk_offset=ijk_off)
+            return out[None, None]
 
         if eikonal_iters > 0:
             # Eikonal mode (the CUDA backend's semantics,
@@ -568,7 +789,7 @@ def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
 
             phi = sweep_ops.eikonal_far_field_impl(
                 phi0, frozen, dx, eikonal_iters, extend_fn=ext_fn)
-            parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
+            parity = local_parity()
             # mirror the single-device mode: the frozen band is recomputed
             # differentiably, the far field keeps the Eikonal estimates
             band_phi = _recompute_phi(tri_verts, tid0, parity, origin, dx,
@@ -654,7 +875,7 @@ def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
             phi = _sharded_chamfer(phi, dx, chamfer_passes,
                                    use_pallas=use_pallas and pyramid)
 
-        parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
+        parity = local_parity()
         if skip_recompute:
             out = jnp.where(parity, -phi, phi)
         else:
@@ -665,30 +886,41 @@ def _make_inner(block, band_tiles_local, tile_shape, band_chunk,
     return inner
 
 
-def _make_inner_dense(block, skip_recompute, interpret):
+def _make_inner_dense(block, skip_recompute, interpret,
+                      sign_device=False, tile2d_shape=None,
+                      sign_tiles_local=None, sign_chunk=64):
     """Dense all-triangles shard kernel: every shard evaluates every triangle
     against its local cells — no band binning, no JFA, no halo exchange at
     all (the per-cell result never depends on neighbor shards). Cell coords
     use GLOBAL indices, so results are bit-identical to single-device runs."""
     ni, nj_l, nk_l = block
 
-    def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed):
+    def inner(tri_verts, origin, dx, b_ids, b_cand, b_valid, parity_packed,
+              s_ids, s_cand, s_valid, f_hi, f_lo):
         parity_packed = parity_packed[0, 0]
+        s_ids, s_cand, s_valid = s_ids[0, 0], s_cand[0, 0], s_valid[0, 0]
         dj = jax.lax.axis_index("j")
         dk = jax.lax.axis_index("k")
         nj = nj_l * jax.lax.axis_size("j")
         nk = nk_l * jax.lax.axis_size("k")
         up = jnp.float32(ni + nj + nk) * dx
-        ijk_off = jnp.stack(
-            [jnp.int32(0), (dj * nj_l).astype(jnp.int32), (dk * nk_l).astype(jnp.int32)]
-        )
+        j_off = (dj * nj_l).astype(jnp.int32)
+        k_off = (dk * nk_l).astype(jnp.int32)
+        ijk_off = jnp.stack([jnp.int32(0), j_off, k_off])
 
         tv_ng = jax.lax.stop_gradient(tri_verts)
         phi_d, tid = dense_ops.dense_distance_field(
             tv_ng, origin, dx, grid_shape=(ni, nj_l, nk_l),
             ijk_offset=ijk_off, interpret=interpret,
         )
-        parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
+        if sign_device:
+            parity = sign_ops.parity_field(
+                f_hi, f_lo, s_ids, s_cand, s_valid,
+                tile_shape=tile2d_shape, tiles_dim=sign_tiles_local,
+                grid_shape=(ni, nj_l, nk_l), chunk=sign_chunk,
+                jk_offset=jnp.stack([j_off, k_off]))
+        else:
+            parity = sign_host_ops.unpack_parity_device(parity_packed, ni)
         if skip_recompute:
             out = jnp.where(parity, -phi_d, phi_d)
         else:
@@ -706,6 +938,8 @@ def _make_inner_dense(block, skip_recompute, interpret):
         "band_chunk", "strides", "chamfer_passes", "seed_band", "dense",
         "skip_recompute", "pyramid", "use_pallas", "kcap", "gdims",
         "band_tiles_global", "eikonal_iters",
+        "sign_device", "tile2d_shape", "sign_tiles_local", "sign_chunk",
+        "propagate_passes",
     ),
 )
 def _sharded_core(
@@ -713,25 +947,32 @@ def _sharded_core(
     band_ids, band_cand, band_valid, parity_packed,
     origin, dx,
     csr_pair, csr_off, csr_cnt, band_gids,
+    sign_ids, sign_cand, sign_valid, f_hi, f_lo,
     *, mesh_obj, block, band_tiles_local, tile_shape, band_chunk,
     strides, chamfer_passes, seed_band=3, dense=False, skip_recompute=False,
     pyramid=False, use_pallas=False, kcap=0, gdims=None,
     band_tiles_global=None, eikonal_iters=0,
+    sign_device=False, tile2d_shape=None, sign_tiles_local=None,
+    sign_chunk=64, propagate_passes=0,
 ):
     """Returns phi blocks (Dj, Dk, ni, nj_l, nk_l), grid-sharded over the mesh."""
+    sign_kw = dict(sign_device=sign_device, tile2d_shape=tile2d_shape,
+                   sign_tiles_local=sign_tiles_local, sign_chunk=sign_chunk)
     if dense:
         interpret = jax.default_backend() != "tpu"
-        inner = _make_inner_dense(block, skip_recompute, interpret)
+        inner = _make_inner_dense(block, skip_recompute, interpret, **sign_kw)
 
-        def inner_w(tv, o, d, bi, bc, bv, pp, *_unused):
-            return inner(tv, o, d, bi, bc, bv, pp)
+        def inner_w(tv, o, d, bi, bc, bv, pp, _p, _o, _c, _g,
+                    si, sc, sv, fh, fl):
+            return inner(tv, o, d, bi, bc, bv, pp, si, sc, sv, fh, fl)
     else:
         inner_w = _make_inner(block, band_tiles_local, tile_shape,
                               band_chunk, strides, chamfer_passes, seed_band,
                               skip_recompute, pyramid=pyramid,
                               use_pallas=use_pallas, kcap=kcap, gdims=gdims,
                               band_tiles_global=band_tiles_global,
-                              eikonal_iters=eikonal_iters)
+                              eikonal_iters=eikonal_iters,
+                              propagate_passes=propagate_passes, **sign_kw)
     blk2 = P("j", "k", None)
     blk3 = P("j", "k", None, None)
     blk4 = P("j", "k", None, None, None)
@@ -739,13 +980,15 @@ def _sharded_core(
         inner_w,
         mesh=mesh_obj,
         in_specs=(P(), P(), P(), blk2, blk3, blk3, blk4,
-                  blk2, blk2, blk2, blk2),
+                  blk2, blk2, blk2, blk2,
+                  blk2, blk3, blk3, P(), P()),
         out_specs=P("j", "k", None, None, None),
         check_vma=False,
     )(
         tri_verts, origin, dx,
         band_ids, band_cand, band_valid, parity_packed,
         csr_pair, csr_off, csr_cnt, band_gids,
+        sign_ids, sign_cand, sign_valid, f_hi, f_lo,
     )
 
 
@@ -762,25 +1005,26 @@ def sharded_sdf(
     (Dj, Dk, ni, nj_l, nk_l) block array (still device-sharded).
     """
     cfg = binned.config
-    if cfg.far_field not in ("exact", "eikonal"):
-        raise NotImplementedError(
-            "sharded pipeline supports far_field='exact' and 'eikonal' "
-            "('propagate' is a single-device legacy mode)")
+    if cfg.far_field not in ("exact", "eikonal", "propagate"):
+        raise ValueError(f"unknown far_field mode: {cfg.far_field}")
     dense = use_dense(cfg, len(binned.tris))
     ni, nj_l, nk_l = binned.block
     Dj, Dk = binned.dims
     gdims = (ni, nj_l * Dj, nk_l * Dk)
     eikonal = cfg.far_field == "eikonal"
+    propagate = cfg.far_field == "propagate" and not dense
+    prop_passes = cfg.max_passes if propagate else 0
     eik_iters = 0
     if eikonal:
         eik_iters = (cfg.eikonal_iters if cfg.eikonal_iters is not None
                      else 2 * max(gdims))
-    pyramid = (not dense and not eikonal and cfg.vdt_max_hop is None
+    pyramid = (not dense and not eikonal and not propagate
+               and cfg.vdt_max_hop is None
                and cfg.vdt_extra_rounds is None)
     strides = ()
     if pyramid:
         _validate_pyramid_blocks(gdims, binned.block, binned.dims)
-    elif not dense and not eikonal:
+    elif not dense and not eikonal and not propagate:
         cap = cfg.vdt_max_hop
         if cap is None or cap > min(nj_l, nk_l):
             raise ValueError(
@@ -805,6 +1049,7 @@ def sharded_sdf(
     use_pallas = (pyramid and binned.csr_pair is not None
                   and jax.default_backend() == "tpu")
     dummy2 = np.zeros((Dj, Dk, 0), np.int32)
+    sign_device = binned.sign_ids is not None
     out = _sharded_core(
         tri_verts,
         jnp.asarray(binned.band_ids),
@@ -819,6 +1064,18 @@ def sharded_sdf(
         jnp.asarray(binned.csr_off) if use_pallas else jnp.asarray(dummy2),
         jnp.asarray(binned.csr_cnt) if use_pallas else jnp.asarray(dummy2),
         jnp.asarray(binned.band_gids) if use_pallas else jnp.asarray(dummy2),
+        jnp.asarray(binned.sign_ids) if sign_device else jnp.asarray(dummy2),
+        jnp.asarray(binned.sign_cand) if sign_device
+        else jnp.zeros((Dj, Dk, 0, 1), np.int32),
+        jnp.asarray(binned.sign_valid) if sign_device
+        else jnp.zeros((Dj, Dk, 0, 1), bool),
+        jnp.asarray(binned.f_hi) if sign_device
+        else jnp.zeros((0, 3, 3), jnp.float32),
+        jnp.asarray(binned.f_lo) if sign_device
+        else jnp.zeros((0, 3, 3), jnp.float32),
+        sign_device=sign_device, tile2d_shape=cfg.tile2d_shape,
+        sign_tiles_local=binned.sign_tiles_local, sign_chunk=cfg.sign_chunk,
+        propagate_passes=prop_passes,
         mesh_obj=device_mesh, block=binned.block,
         band_tiles_local=binned.band_tiles_local, tile_shape=cfg.tile_shape,
         band_chunk=cfg.band_chunk, strides=strides,

@@ -48,23 +48,25 @@ class SDFConfig:
     """Pipeline configuration (the reference's build+runtime knobs rolled
     into one dataclass, per SURVEY §5 "config/flag system").
 
-    SHARDED-MODE RESTRICTIONS (parallel/sharded.sharded_sdf):
+    SHARDED MODES (parallel/sharded.sharded_sdf): every mode shards.
     ``far_field="exact"`` (the default pyramid schedule, or the capped
     ladder when ``vdt_max_hop`` is set) and ``far_field="eikonal"`` are
-    supported; the sign is always the host parity transport.
-    ``far_field="propagate"`` (a legacy mode) and ``sign_mode="device"``
-    are single-device-only.
+    the fast paths; ``far_field="propagate"`` (legacy) runs with
+    serialized cross-shard plane scans (bit-equal, compat-only speed).
+    Both sign modes shard (``"host"`` ships per-shard packed parity,
+    ``"device"`` partitions the 2D sign tiles and runs the double-float
+    SOS predicates per shard — the ray axis is unsharded, no collectives).
     """
 
     exact_band: int = 1
     # "exact": band + closest-point jump-flood far field (CPU-backend
-    # semantics, default); "propagate": directional plane scans;
-    # "eikonal": CUDA-backend semantics. Sharded runs support "exact" ONLY.
+    # semantics, default); "propagate": directional plane scans (legacy);
+    # "eikonal": CUDA-backend semantics.
     far_field: str = "exact"
     # "host": parity computed in NumPy float64 during binning (exact reference
     # parity, fastest); "device": double-float SOS predicates on device
     # (self-contained, but this backend compiles the long df chains slowly).
-    # Sharded runs always use the host transport.
+    # Both shard (device mode partitions the 2D sign tiles per shard).
     sign_mode: str = "host"
     # host-mode parity transport to the device: "packed" ships the bit-packed
     # (ni/8, nj, nk) field (one fused unpack op); "crossings" ships only the
@@ -76,8 +78,10 @@ class SDFConfig:
     tile_shape: Tuple[int, int, int] = band_ops.DEFAULT_TILE
     tile2d_shape: Tuple[int, int] = sign_ops.DEFAULT_TILE_2D
     # safety cap only — the propagation while_loop exits as soon as a full
-    # pass changes nothing; sharded runs advance one shard per pass, so the
-    # cap must exceed (passes to converge) + (shard count along j/k)
+    # pass changes nothing. A sharded pass serializes shard rows WITHIN each
+    # directional sweep (parallel/sharded._sharded_propagate), so a pass
+    # means the same global sweep sequence in both settings and the cap
+    # needs no shard adjustment.
     max_passes: int = 64
     # "exact" mode far field (ops/vdt.py): extra stride-1 polish rounds of
     # the closest-point jump flood (None = auto: 2 for grids <= 256, 4 for

@@ -201,6 +201,80 @@ class TestShardedEikonal:
         _assert_equivalent(phi_sharded, phi_single)
 
 
+class TestShardedDeviceSign:
+    """sign_mode="device" sharded: the 2D (j, k) sign tiles are partitioned
+    per shard and the double-float SOS predicates run on each shard's own
+    rays (the ray axis is unsharded) — the sign of every cell must match a
+    single-device device-sign run exactly."""
+
+    @pytest.mark.parametrize("dense_cap", [1024, 0])
+    def test_matches_single_device(self, dense_cap):
+        dmesh = _mesh_or_skip()
+        m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
+        g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
+        cfg = SDFConfig(sign_mode="device", tile2d_shape=(8, 8),
+                        dense_max_tris=dense_cap, vdt_max_hop=4)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        assert sb.sign_ids is not None and sb.parity_packed.shape[2] == 0
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
+
+    def test_box_sos_ties_on_shard_boundaries(self):
+        # grid-aligned box faces: every sign decision is an SOS tie-break;
+        # crossing shard boundaries must not change any of them
+        dmesh = _mesh_or_skip()
+        m = box_mesh((3, 4, 5), (-1, -1, -1))
+        g = GridSpec((-1.5, -1.5, -1.5), 0.25, (28, 32, 32))
+        cfg = SDFConfig(sign_mode="device", tile_shape=(4, 4, 4),
+                        tile2d_shape=(8, 8), vdt_max_hop=4)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
+
+    def test_eikonal_with_device_sign(self):
+        dmesh = _mesh_or_skip()
+        m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
+        g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
+        cfg = SDFConfig(far_field="eikonal", sign_mode="device",
+                        tile2d_shape=(8, 8), dense_max_tris=0)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        _assert_equivalent(phi_sharded, phi_single)
+
+
+class TestShardedPropagate:
+    """Legacy far_field="propagate" sharded: directional plane scans with
+    serialized cross-shard rounds must reproduce the single-device fixed
+    point bit-for-bit (same plane_update kernel, same pass count)."""
+
+    def test_matches_single_device(self):
+        dmesh = _mesh_or_skip()
+        m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
+        g = GridSpec((-1.4, -1.4, -1.4), 0.0875, (32, 32, 32))
+        cfg = SDFConfig(far_field="propagate", tile2d_shape=(8, 8),
+                        dense_max_tris=0, max_passes=8)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        np.testing.assert_array_equal(phi_sharded, phi_single)
+
+    def test_1d_mesh_k(self):
+        # (1, 8) mesh: all serialization rides the k axis
+        dmesh = _mesh_or_skip(shape=(1, 8))
+        m = icosphere(1, radius=1.0)
+        g = GridSpec((-1.3, -1.3, -1.3), 2.6 / 32, (16, 16, 32))
+        cfg = SDFConfig(far_field="propagate", tile_shape=(8, 8, 4),
+                        tile2d_shape=(8, 4), dense_max_tris=0,
+                        max_passes=8)
+        sb = bin_mesh_sharded(m, g, dmesh.devices.shape, cfg)
+        phi_sharded = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_single = np.asarray(make_level_set3(m, g, cfg))
+        np.testing.assert_array_equal(phi_sharded, phi_single)
+
+
 class TestShardedGradients:
     @pytest.mark.parametrize("dense_cap", [1024, 0])
     def test_gradient_matches_single_device(self, dense_cap):
