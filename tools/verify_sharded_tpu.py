@@ -65,6 +65,27 @@ def main():
         ok = ok and status == "OK"
         print(f"{name}: max|diff|={d:.3e} (bar {bar:.1e}) "
               f"sign_equal={sign_ok} -> {status}")
+
+    # the non-default sharded modes (round-5: every mode shards) at 64^3:
+    # device SOS sign, legacy propagate scans, Eikonal — each must match
+    # its own single-device run exactly (no axis permutation at play)
+    m = icosphere(2, radius=1.0, center=(0.03, -0.02, 0.01))
+    grid = GridSpec((-1.25, -1.25, -1.25), 2.5 / 64, (64, 64, 64))
+    for name, cfg in [
+        ("device-sign@64", SDFConfig(sign_mode="device", dense_max_tris=0,
+                                     vdt_max_hop=8)),
+        ("propagate@64", SDFConfig(far_field="propagate", dense_max_tris=0,
+                                   max_passes=8)),
+        ("eikonal@64", SDFConfig(far_field="eikonal", dense_max_tris=0)),
+    ]:
+        sb = bin_mesh_sharded(m, grid, (1, 1), cfg)
+        phi_sh = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
+        phi_1 = np.asarray(make_level_set3(m, grid, cfg))
+        d = float(np.abs(phi_sh - phi_1).max())
+        sign_ok = bool(((phi_sh < 0) == (phi_1 < 0)).all())
+        status = "OK" if (d <= 1e-5 and sign_ok) else "FAIL"
+        ok = ok and status == "OK"
+        print(f"{name}: max|diff|={d:.3e} sign_equal={sign_ok} -> {status}")
     sys.exit(0 if ok else 1)
 
 
