@@ -208,11 +208,24 @@ def generate_sdf_batch(
     out = []
     with jax.default_device(dev):
         pending = None  # device array still computing while we bin the next
+        cross_rows = 0  # running max crossings bucket: keeps ONE traced
+        # program across meshes whose natural C buckets differ
         for mesh in validated:
-            binned = bin_mesh(mesh, grid, config)
+            binned = bin_mesh(mesh, grid, config,
+                              min_cross_rows=cross_rows)
+            if binned.parity_crossings is not None:
+                cross_rows = max(cross_rows,
+                                 binned.parity_crossings.shape[0])
             if pending is not None:
                 out.append(np.asarray(pending))
             pending = make_level_set3(mesh, grid, config, binned=binned)
+            try:
+                # start the device->host copy NOW so it overlaps the next
+                # mesh's host binning (and, on remote links, the next
+                # dispatch): the grids are 10s-100s of MB each
+                pending.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
         if pending is not None:
             out.append(np.asarray(pending))
     return out

@@ -39,9 +39,12 @@ CROSS_SENTINEL = np.int16(32767)
 
 
 def crossings_host(verts: np.ndarray, tris: np.ndarray, grid: GridSpec,
-                   num_threads: int = 0) -> np.ndarray:
+                   num_threads: int = 0, min_rows: int = 0) -> np.ndarray:
     """(C, nj, nk) int16 per-column x-ray crossing positions (sentinel-padded,
-    C bucketed to a multiple of 2 to bound jit recompiles).
+    C bucketed to a multiple of 2 to bound jit recompiles; `min_rows` pads
+    further so a BATCH of similar meshes shares one traced program even when
+    their natural C buckets differ — api.generate_sdf_batch threads the
+    running maximum through).
 
     A crossing at position c means the parity field toggles at i = c:
     parity(i, j, k) = XOR_c [i >= crossings(c, j, k)] — the exact prefix-XOR
@@ -79,7 +82,7 @@ def crossings_host(verts: np.ndarray, tris: np.ndarray, grid: GridSpec,
         out = np.full((max(maxc, 1), nj, nk), CROSS_SENTINEL, np.int16)
         rank = np.arange(len(col)) - np.repeat(starts, per)
         out[rank, col // nk, col % nk] = ii.astype(np.int16)
-    C = max(2, -(-max(int(maxc), 1) // 2) * 2)
+    C = max(2, -(-max(int(maxc), 1) // 2) * 2, int(min_rows))
     if out.shape[0] < C:
         pad = np.full((C - out.shape[0], nj, nk), CROSS_SENTINEL, np.int16)
         out = np.concatenate([out, pad], axis=0)

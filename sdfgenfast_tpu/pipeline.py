@@ -214,7 +214,7 @@ def _upload_binned(mesh, parity, crossings, csr=None, grid=None):
     return pack_device_blob(arrays, unpack_now=False)
 
 
-def _host_parity_choose(mesh, grid, mode):
+def _host_parity_choose(mesh, grid, mode, min_cross_rows=0):
     """Host parity in the requested transport: (packed, crossings), one None.
 
     "auto" computes the SOS predicates ONCE (as crossings) and ships
@@ -223,7 +223,8 @@ def _host_parity_choose(mesh, grid, mode):
     second predicate pass. Crossings win whenever max crossings/column
     < ni/16 (every benchmark mesh; the host link costs ~16 ms/MB)."""
     if mode == "auto":
-        cross = sign_host_ops.crossings_host(mesh.verts, mesh.tris, grid)
+        cross = sign_host_ops.crossings_host(
+            mesh.verts, mesh.tris, grid, min_rows=min_cross_rows)
         # smaller transport wins: C int16 rows/column vs ni/8 bit bytes
         if cross.shape[0] * 2 < -(-grid.shape[0] // 8):
             return None, cross
@@ -231,21 +232,26 @@ def _host_parity_choose(mesh, grid, mode):
             cross, grid.shape[0]), None
     if mode == "crossings":
         return None, sign_host_ops.crossings_host(
-            mesh.verts, mesh.tris, grid)
+            mesh.verts, mesh.tris, grid, min_rows=min_cross_rows)
     if mode != "packed":
         raise ValueError(f"unknown parity_transport: {mode}")
     return sign_host_ops.parity_packed_host(
         mesh.verts, mesh.tris, grid), None
 
 
-def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Binned:
+def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig(),
+             min_cross_rows: int = 0) -> Binned:
+    """Host-side preprocessing for `make_level_set3`. `min_cross_rows` pads
+    the crossings transport's row bucket so batches of similar meshes share
+    one traced program (api.generate_sdf_batch passes a running maximum)."""
     mesh.validate_indices()
     if use_dense(config, len(mesh.tris)) and config.sign_mode == "host":
         # "auto" picks the smaller transport here too (round-4 always
         # shipped packed on the dense path: at box256 that was a 4.6 MB
         # upload where the crossings are ~0.6 MB — ~65 ms of tunnel time)
         packed, cross = _host_parity_choose(mesh, grid,
-                                            config.parity_transport)
+                                            config.parity_transport,
+                                            min_cross_rows)
         if cross is not None:
             return Binned(grid, config, None, None,
                           mesh.tris.astype(np.int32), None,
@@ -303,7 +309,8 @@ def bin_mesh(mesh: Mesh, grid: GridSpec, config: SDFConfig = SDFConfig()) -> Bin
 
     if config.sign_mode == "host":
         packed, cross = _host_parity_choose(mesh, grid,
-                                            config.parity_transport)
+                                            config.parity_transport,
+                                            min_cross_rows)
         csr = build_csr(bb)
         return Binned(grid, config, pad_band(bb), None,
                       mesh.tris.astype(np.int32), packed,

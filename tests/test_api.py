@@ -459,6 +459,24 @@ class TestBatchAPI:
             single = sg.generate_sdf(v, t, origin, dx, *dims)
             np.testing.assert_array_equal(phi, single)
 
+    def test_batch_mixed_crossing_counts(self):
+        # meshes with DIFFERENT natural crossings-row buckets (a sphere has
+        # 2 x-ray crossings/column, two nested spheres 4): the batch pads
+        # later transports to the running max so one traced program serves
+        # both, and the padding must not change any value vs single calls
+        sg = sdfgen
+        s_out = mesh_mod.icosphere(2, radius=1.0)
+        s_in = mesh_mod.icosphere(2, radius=0.5)
+        nested_v = np.concatenate([s_out.verts, s_in.verts])
+        nested_t = np.concatenate(
+            [s_out.tris, s_in.tris + len(s_out.verts)])
+        meshes = [(s_out.verts, s_out.tris), (nested_v, nested_t)]
+        origin, dx, dims = (-1.4, -1.4, -1.4), 2.8 / 32, (32, 32, 32)
+        batch = sg.generate_sdf_batch(meshes, origin, dx, *dims)
+        for (v, t), phi in zip(meshes, batch):
+            single = sg.generate_sdf(v, t, origin, dx, *dims)
+            np.testing.assert_array_equal(phi, single)
+
     def test_batch_rejects_empty_mesh(self):
         sg = sdfgen
         with pytest.raises(ValueError, match="empty mesh"):
