@@ -47,7 +47,7 @@ mesh = global_device_mesh(shape=(2, 4))
 m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
 g = GridSpec((-1.4, -1.4, -1.4), 2.8 / {n}, ({n}, {n}, {n}))
 cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris={dense_cap},
-                vdt_max_hop={max_hop})
+                vdt_max_hop={max_hop}, sign_mode={sign_mode!r})
 sb = bin_mesh_sharded(m, g, (2, 4), cfg)
 blocks = sharded_sdf_multihost(sb, mesh, m.verts)
 phi = assemble_blocks(fetch_global(blocks))
@@ -101,16 +101,20 @@ def _free_port():
 
 
 @pytest.mark.slow
-# (dense_max_tris, vdt_max_hop, grid n): dense shards, the capped halo
-# ladder, and the default PYRAMID schedule (max_hop None, 64-grid so halo
-# repair rounds actually run) — each must match single-process exactly
-@pytest.mark.parametrize("dense_cap,max_hop,n", [
-    (1024, 4, 32), (0, 4, 32), (0, None, 64)])
-def test_two_process_matches_single_process(tmp_path, dense_cap, max_hop, n):
+# (dense_max_tris, vdt_max_hop, grid n, sign_mode): dense shards, the
+# capped halo ladder, the default PYRAMID schedule (max_hop None, 64-grid
+# so halo repair rounds actually run), and the on-device SOS sign with
+# per-process sign-tile partitions — each must match single-process exactly
+@pytest.mark.parametrize("dense_cap,max_hop,n,sign_mode", [
+    (1024, 4, 32, "host"), (0, 4, 32, "host"), (0, None, 64, "host"),
+    (0, 4, 32, "device")])
+def test_two_process_matches_single_process(tmp_path, dense_cap, max_hop, n,
+                                            sign_mode):
     out = str(tmp_path / "phi_mh.npy")
     coord = f"127.0.0.1:{_free_port()}"
     script = _WORKER.format(repo=REPO, coord=coord, out=out,
-                            dense_cap=dense_cap, max_hop=max_hop, n=n)
+                            dense_cap=dense_cap, max_hop=max_hop, n=n,
+                            sign_mode=sign_mode)
     # strip the ambient TPU-plugin sitecustomize (PYTHONPATH) and platform
     # pin: jax.distributed.initialize must run before ANY backend touch, and
     # the sitecustomize initializes the axon backend at interpreter start
@@ -149,7 +153,7 @@ def test_two_process_matches_single_process(tmp_path, dense_cap, max_hop, n):
     m = icosphere(2, radius=1.0, center=(0.05, -0.02, 0.03))
     g = GridSpec((-1.4, -1.4, -1.4), 2.8 / n, (n, n, n))
     cfg = SDFConfig(tile2d_shape=(8, 8), dense_max_tris=dense_cap,
-                    vdt_max_hop=max_hop)
+                    vdt_max_hop=max_hop, sign_mode=sign_mode)
     dmesh = make_device_mesh(shape=(2, 4))
     sb = bin_mesh_sharded(m, g, (2, 4), cfg)
     phi_single = np.asarray(sharded_sdf(sb, dmesh, verts=m.verts))
