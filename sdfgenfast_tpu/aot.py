@@ -40,6 +40,26 @@ __all__ = ["call_aot", "clear_memo"]
 
 _memo: dict = {}  # key -> jitted Exported.call
 _lock = threading.Lock()
+_code_salt_cache = None
+
+
+def _code_salt() -> str:
+    """Hash of every .py source in this package: an edit anywhere in the
+    package invalidates all artifacts (conservative — the traced program
+    depends on a subset of the sources, but a stale artifact silently
+    serving an OLD program is the one failure mode this layer must never
+    have). Computed once per process (~ms)."""
+    global _code_salt_cache
+    if _code_salt_cache is None:
+        h = hashlib.sha256()
+        pkg = os.path.dirname(os.path.abspath(__file__))
+        for root, _dirs, files in sorted(os.walk(pkg)):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    with open(os.path.join(root, f), "rb") as fh:
+                        h.update(fh.read())
+        _code_salt_cache = h.hexdigest()
+    return _code_salt_cache
 
 
 def _aot_dir():
@@ -58,6 +78,7 @@ def _key(name: str, static_kwargs: dict, args) -> str:
     dev = jax.devices()[0]
     parts = [
         jax.__version__,
+        _code_salt(),
         dev.platform,
         getattr(dev, "device_kind", ""),
         name,
