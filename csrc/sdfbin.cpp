@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -112,6 +113,56 @@ inline bool keep_tile(const TriGeom& g, const int64_t* tile,
   return true;
 }
 
+struct BinDims {
+  int64_t dims[3], tile[3], nti, ntj, ntk, T;
+};
+
+inline void tri_window(const TriGeom& g, int32_t band, const BinDims& bd,
+                       int64_t* tlo, int64_t* thi) {
+  // reference window: clamp(int(min)-band, 0, n-1) ..
+  // clamp(int(max)+band+1, 0, n-1), int() = C truncation
+  for (int ax = 0; ax < 3; ++ax) {
+    int64_t lo = static_cast<int64_t>(std::trunc(g.fmin[ax])) - band;
+    int64_t hi = static_cast<int64_t>(std::trunc(g.fmax[ax])) + band + 1;
+    if (lo < 0) lo = 0;
+    if (lo > bd.dims[ax] - 1) lo = bd.dims[ax] - 1;
+    if (hi < 0) hi = 0;
+    if (hi > bd.dims[ax] - 1) hi = bd.dims[ax] - 1;
+    tlo[ax] = lo / bd.tile[ax];
+    thi[ax] = hi / bd.tile[ax];
+  }
+}
+
+// Count pairs per tile for triangles [t0, t1) into `cnt` (int32: a single
+// chunk can't overflow — nt < 2^31 triangles reach any one tile).
+void count_chunk(const float* verts, const uint32_t* tris,
+                 const double* origin, double dx, int32_t band, int32_t prune,
+                 const BinDims& bd, int64_t t0, int64_t t1, int32_t* cnt) {
+  for (int64_t t = t0; t < t1; ++t) {
+    TriGeom g;
+    tri_geom(verts, tris + t * 3, origin, dx, &g);
+    int64_t tlo[3], thi[3];
+    tri_window(g, band, bd, tlo, thi);
+    for (int64_t a = tlo[0]; a <= thi[0]; ++a)
+      for (int64_t b = tlo[1]; b <= thi[1]; ++b)
+        for (int64_t c2 = tlo[2]; c2 <= thi[2]; ++c2)
+          if (!prune || keep_tile(g, bd.tile, bd.dims, a, b, c2, band))
+            cnt[(a * bd.ntj + b) * bd.ntk + c2] += 1;
+  }
+}
+
+// Deterministic parallelism: triangles split into NTH contiguous chunks;
+// per-chunk per-tile counts give every chunk a fixed write offset per tile,
+// so the filled candidate lists keep ascending-triangle order regardless of
+// thread scheduling — BIT-IDENTICAL to the serial fill (argmin tie-breaks
+// downstream depend on this order). Memory: NTH * T * 4 bytes of scratch.
+inline int pick_threads(int64_t nt) {
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw < 1) hw = 1;
+  if (hw > 8) hw = 8;
+  return nt >= 8192 ? hw : 1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -134,37 +185,31 @@ int sdfbin_count(
     set_err(err, errlen, "invalid dims");
     return 1;
   }
-  const int64_t nti = (ni + ti - 1) / ti;
-  const int64_t ntj = (nj + tj - 1) / tj;
-  const int64_t ntk = (nk + tk - 1) / tk;
+  const BinDims bd = {
+      {ni, nj, nk}, {ti, tj, tk},
+      (ni + ti - 1) / ti, (nj + tj - 1) / tj, (nk + tk - 1) / tk, 0};
+  const int64_t T = bd.nti * bd.ntj * bd.ntk;
 
-  for (int64_t t = 0; t < nt; ++t) {
-    TriGeom g;
-    tri_geom(verts, tris + t * 3, origin, dx, &g);
-    // reference window: clamp(int(min)-band, 0, n-1) ..
-    // clamp(int(max)+band+1, 0, n-1), int() = C truncation
-    const int64_t dims[3] = {ni, nj, nk};
-    const int64_t tile[3] = {ti, tj, tk};
-    int64_t tlo[3], thi[3];
-    for (int ax = 0; ax < 3; ++ax) {
-      int64_t lo = static_cast<int64_t>(std::trunc(g.fmin[ax])) - band;
-      int64_t hi = static_cast<int64_t>(std::trunc(g.fmax[ax])) + band + 1;
-      if (lo < 0) lo = 0;
-      if (lo > dims[ax] - 1) lo = dims[ax] - 1;
-      if (hi < 0) hi = 0;
-      if (hi > dims[ax] - 1) hi = dims[ax] - 1;
-      tlo[ax] = lo / tile[ax];
-      thi[ax] = hi / tile[ax];
+  const int nth = pick_threads(nt);
+  std::vector<int32_t> chunk_cnt(static_cast<size_t>(nth) * T, 0);
+  if (nth == 1) {
+    count_chunk(verts, tris, origin, dx, band, prune, bd, 0, nt,
+                chunk_cnt.data());
+  } else {
+    std::vector<std::thread> pool;
+    for (int c = 0; c < nth; ++c) {
+      const int64_t t0 = nt * c / nth, t1 = nt * (c + 1) / nth;
+      pool.emplace_back(count_chunk, verts, tris, origin, dx, band, prune,
+                        std::cref(bd), t0, t1, chunk_cnt.data() + c * T);
     }
-    for (int64_t a = tlo[0]; a <= thi[0]; ++a)
-      for (int64_t b = tlo[1]; b <= thi[1]; ++b)
-        for (int64_t c2 = tlo[2]; c2 <= thi[2]; ++c2)
-          if (!prune || keep_tile(g, tile, dims, a, b, c2, band))
-            counts[(a * ntj + b) * ntk + c2] += 1;
+    for (auto& th : pool) th.join();
+  }
+  for (int c = 0; c < nth; ++c) {
+    const int32_t* src = chunk_cnt.data() + static_cast<size_t>(c) * T;
+    for (int64_t i = 0; i < T; ++i) counts[i] += src[i];
   }
 
   int64_t active = 0, kmax = 0;
-  const int64_t T = nti * ntj * ntk;
   for (int64_t i = 0; i < T; ++i) {
     if (counts[i] > 0) {
       ++active;
@@ -191,12 +236,12 @@ int sdfbin_fill(
     int32_t* active_ids, int32_t* cand, uint8_t* valid,
     char* err, int errlen) {
   (void)nv;
-  const int64_t nti = (ni + ti - 1) / ti;
-  const int64_t ntj = (nj + tj - 1) / tj;
-  const int64_t ntk = (nk + tk - 1) / tk;
-  const int64_t T = nti * ntj * ntk;
+  const BinDims bd = {
+      {ni, nj, nk}, {ti, tj, tk},
+      (ni + ti - 1) / ti, (nj + tj - 1) / tj, (nk + tk - 1) / tk, 0};
+  const int64_t T = bd.nti * bd.ntj * bd.ntk;
 
-  // tile -> row index (ascending tile id), counts[] -> fill cursor
+  // tile -> row index (ascending tile id)
   std::vector<int64_t> row(T, -1);
   int64_t a = 0;
   for (int64_t i = 0; i < T; ++i) {
@@ -208,36 +253,62 @@ int sdfbin_fill(
       row[i] = a;
       active_ids[a] = static_cast<int32_t>(i);
       ++a;
-      counts[i] = 0;  // becomes the per-tile fill cursor
     }
   }
 
-  for (int64_t t = 0; t < nt; ++t) {
-    TriGeom g;
-    tri_geom(verts, tris + t * 3, origin, dx, &g);
-    const int64_t dims[3] = {ni, nj, nk};
-    const int64_t tile[3] = {ti, tj, tk};
-    int64_t tlo[3], thi[3];
-    for (int ax = 0; ax < 3; ++ax) {
-      int64_t lo = static_cast<int64_t>(std::trunc(g.fmin[ax])) - band;
-      int64_t hi = static_cast<int64_t>(std::trunc(g.fmax[ax])) + band + 1;
-      if (lo < 0) lo = 0;
-      if (lo > dims[ax] - 1) lo = dims[ax] - 1;
-      if (hi < 0) hi = 0;
-      if (hi > dims[ax] - 1) hi = dims[ax] - 1;
-      tlo[ax] = lo / tile[ax];
-      thi[ax] = hi / tile[ax];
+  const int nth = pick_threads(nt);
+  // per-chunk per-tile counts -> exclusive per-chunk write offsets: chunk
+  // order equals triangle order, so the parallel fill reproduces the
+  // serial ascending-triangle candidate order exactly
+  std::vector<int32_t> chunk_off(static_cast<size_t>(nth) * T, 0);
+  if (nth > 1) {
+    std::vector<std::thread> pool;
+    for (int c = 0; c < nth; ++c) {
+      const int64_t t0 = nt * c / nth, t1 = nt * (c + 1) / nth;
+      pool.emplace_back(count_chunk, verts, tris, origin, dx, band, prune,
+                        std::cref(bd), t0, t1, chunk_off.data() + c * T);
     }
-    for (int64_t i = tlo[0]; i <= thi[0]; ++i)
-      for (int64_t j = tlo[1]; j <= thi[1]; ++j)
-        for (int64_t k = tlo[2]; k <= thi[2]; ++k) {
-          if (prune && !keep_tile(g, tile, dims, i, j, k, band)) continue;
-          const int64_t lin = (i * ntj + j) * ntk + k;
-          const int64_t r = row[lin];
-          const int64_t pos = counts[lin]++;
-          cand[r * K + pos] = static_cast<int32_t>(t);
-          valid[r * K + pos] = 1;
-        }
+    for (auto& th : pool) th.join();
+    for (int64_t i = 0; i < T; ++i) {
+      int32_t base = 0;
+      for (int c = 0; c < nth; ++c) {
+        const int32_t n = chunk_off[static_cast<size_t>(c) * T + i];
+        chunk_off[static_cast<size_t>(c) * T + i] = base;
+        base += n;
+      }
+    }
+  }
+
+  auto fill_chunk = [&](int64_t t0, int64_t t1, int32_t* cursor) {
+    for (int64_t t = t0; t < t1; ++t) {
+      TriGeom g;
+      tri_geom(verts, tris + t * 3, origin, dx, &g);
+      int64_t tlo[3], thi[3];
+      tri_window(g, band, bd, tlo, thi);
+      for (int64_t i = tlo[0]; i <= thi[0]; ++i)
+        for (int64_t j = tlo[1]; j <= thi[1]; ++j)
+          for (int64_t k = tlo[2]; k <= thi[2]; ++k) {
+            if (prune && !keep_tile(g, bd.tile, bd.dims, i, j, k, band))
+              continue;
+            const int64_t lin = (i * bd.ntj + j) * bd.ntk + k;
+            const int64_t r = row[lin];
+            const int64_t pos = cursor[lin]++;
+            cand[r * K + pos] = static_cast<int32_t>(t);
+            valid[r * K + pos] = 1;
+          }
+    }
+  };
+
+  if (nth == 1) {
+    std::vector<int32_t> cursor(T, 0);
+    fill_chunk(0, nt, cursor.data());
+  } else {
+    std::vector<std::thread> pool;
+    for (int c = 0; c < nth; ++c) {
+      const int64_t t0 = nt * c / nth, t1 = nt * (c + 1) / nth;
+      pool.emplace_back(fill_chunk, t0, t1, chunk_off.data() + c * T);
+    }
+    for (auto& th : pool) th.join();
   }
   return 0;
 }
