@@ -203,6 +203,38 @@ class TestNativeBinning:
         np.testing.assert_array_equal(bb.cand_valid, ref.cand_valid)
         assert bb.tiles_dim == ref.tiles_dim
 
+    def test_native_threaded_matches_numpy(self):
+        # >= 8192 triangles engages the multi-threaded chunked fill
+        # (csrc/sdfbin.cpp pick_threads); candidate ORDER must still be the
+        # serial ascending-triangle order bit-for-bit
+        import numpy as np
+        from sdfgenfast_tpu.grid import GridSpec
+        from sdfgenfast_tpu.io import native
+        from sdfgenfast_tpu.mesh import icosphere
+        from sdfgenfast_tpu.ops import band as band_ops
+
+        if not native.available():
+            import pytest
+            pytest.skip("native binning unavailable")
+
+        m = icosphere(5, radius=1.0, center=(0.04, -0.06, 0.02))  # 20480 tris
+        assert m.num_tris >= 8192
+        g = GridSpec((-1.37, -1.29, -1.33), 2.7 / 64, (64, 63, 65))
+        bb = band_ops.bin_triangles(m.verts, m.tris, g, 3, (8, 8, 8),
+                                    prune=True)
+
+        orig = native.bin_triangles_native
+        try:
+            native.bin_triangles_native = lambda *a, **k: None
+            ref = band_ops.bin_triangles(m.verts, m.tris, g, 3, (8, 8, 8),
+                                         prune=True)
+        finally:
+            native.bin_triangles_native = orig
+
+        np.testing.assert_array_equal(bb.active_ids, ref.active_ids)
+        np.testing.assert_array_equal(bb.cand, ref.cand)
+        np.testing.assert_array_equal(bb.cand_valid, ref.cand_valid)
+
 
 class TestTorusMesh:
     def test_flagship_size_and_watertight(self):
