@@ -147,19 +147,27 @@ namespace {
 // so only (cap, nj, nk) int16 (sentinel-padded) ever crosses the host->
 // device link instead of a bit-packed (ni/8, nj, nk) field.
 void crossings_range(const ParityArgs& A, int16_t* out, int32_t cap,
-                     int32_t* counts, int64_t j0, int64_t j1) {
-  const int64_t nj = A.nj, nk = A.nk, ni = A.ni;
+                     int32_t* counts, int64_t nb, int64_t j0, int64_t j1) {
+  // BIT-PACKED events (same layout as the parity_packed path): the scan
+  // touches (ni/8)*nj*nk bytes instead of byte-per-cell — at 512^3 that is
+  // 16.8 MB instead of 134 MB, and the alloc+memset shrinks 8x too. Bits
+  // scan LSB-first within ascending byte-planes, so per-column crossing
+  // positions stay ascending in i.
+  const int64_t nj = A.nj, nk = A.nk;
   const int64_t span = (j1 - j0) * nk;
   int32_t* cnt = counts + j0 * nk;
-  for (int64_t i = 0; i < ni; ++i) {
-    const uint8_t* src = A.events + (i * nj + j0) * nk;
+  for (int64_t ib = 0; ib < nb; ++ib) {
+    const uint8_t* src = A.events + (ib * nj + j0) * nk;
     for (int64_t x = 0; x < span; ++x) {
-      if (src[x]) {
-        int32_t c = cnt[x]++;
+      uint8_t b = src[x];
+      while (b) {
+        const int bit = __builtin_ctz(b);
+        b = static_cast<uint8_t>(b & (b - 1));
+        const int32_t c = cnt[x]++;
         if (c < cap) {
-          int64_t col = j0 * nk + x;  // j * nk + k
+          const int64_t col = j0 * nk + x;  // j * nk + k
           out[static_cast<int64_t>(c) * nj * nk + col] =
-              static_cast<int16_t>(i);
+              static_cast<int16_t>(ib * 8 + bit);
         }
       }
     }
@@ -183,11 +191,10 @@ extern "C" int sdfgenio_crossings(
   (void)err;
   (void)errlen;
   if (ni <= 0 || nj <= 0 || nk <= 0 || ni > 32766 || cap <= 0) return 1;
-  const int64_t cells = static_cast<int64_t>(ni) * nj * nk;
+  const int64_t nb = (ni + 7) / 8;
   const int64_t cols = static_cast<int64_t>(nj) * nk;
-  std::vector<uint8_t> events(static_cast<size_t>(cells), 0);
+  std::vector<uint8_t> events(static_cast<size_t>(nb) * cols, 0);
   std::vector<int32_t> counts(static_cast<size_t>(cols), 0);
-  // (byte-per-cell events: this transport extracts per-column positions)
   for (int64_t x = 0; x < static_cast<int64_t>(cap) * cols; ++x)
     crossings_out[x] = 32767;
 
@@ -203,7 +210,7 @@ extern "C" int sdfgenio_crossings(
   A.nj = nj;
   A.nk = nk;
   A.events = events.data();
-  A.bit_packed = false;
+  A.bit_packed = true;
 
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw <= 0) hw = 4;
@@ -231,7 +238,7 @@ extern "C" int sdfgenio_crossings(
     int use = static_cast<int>(
         std::min<int64_t>(nth, std::max<int64_t>(1, nj / 8)));
     if (use <= 1) {
-      crossings_range(A, crossings_out, cap, counts.data(), 0, nj);
+      crossings_range(A, crossings_out, cap, counts.data(), nb, 0, nj);
     } else {
       std::vector<std::thread> pool;
       int64_t chunk = (nj + use - 1) / use;
@@ -240,7 +247,7 @@ extern "C" int sdfgenio_crossings(
         int64_t j1 = std::min<int64_t>(nj, j0 + chunk);
         if (j0 >= j1) break;
         pool.emplace_back(crossings_range, std::cref(A), crossings_out, cap,
-                          counts.data(), j0, j1);
+                          counts.data(), nb, j0, j1);
       }
       for (auto& th : pool) th.join();
     }
